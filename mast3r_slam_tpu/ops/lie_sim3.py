@@ -1,0 +1,281 @@
+"""Pure-JAX Sim(3) Lie group library.
+
+Replaces the lietorch dependency and the device-side Sim(3) math of the
+reference BA kernels (capability parity with
+`/root/reference/mast3r_slam/backend/src/gn_kernels.cu:172-413` and lietorch's
+Sim3 ops used in `tracker.py` / `frame.py`).  All functions are vectorized
+over arbitrary leading batch dims, jit/vmap/grad-safe (no data-dependent
+branches; small-angle cases handled with masked Taylor expansions), and
+operate on the 8-float embedding used throughout the map arena:
+
+    T = [t(3), q(4, xyzw), s(1)]        acting as   X -> s * R(q) @ X + t
+
+Tangent vectors are 7-dim ``[tau(3), omega(3), sigma(1)]`` and retraction is
+LEFT composition ``retr(T, xi) = exp(xi) * T`` (matching the reference's
+`retrSim3` / lietorch `.retr`).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-6  # small-angle switch, matches reference EPS (gn_kernels.cu:34)
+
+
+# ---------------------------------------------------------------------------
+# Quaternion utilities (xyzw layout)
+# ---------------------------------------------------------------------------
+
+def quat_mul(qi, qj):
+    """Hamilton product qi * qj, xyzw layout."""
+    xi, yi, zi, wi = jnp.moveaxis(qi, -1, 0)
+    xj, yj, zj, wj = jnp.moveaxis(qj, -1, 0)
+    return jnp.stack(
+        [
+            wi * xj + xi * wj + yi * zj - zi * yj,
+            wi * yj - xi * zj + yi * wj + zi * xj,
+            wi * zj + xi * yj - yi * xj + zi * wj,
+            wi * wj - xi * xj - yi * yj - zi * zj,
+        ],
+        axis=-1,
+    )
+
+
+def quat_inv(q):
+    """Conjugate of a unit quaternion."""
+    return q * jnp.array([-1.0, -1.0, -1.0, 1.0], dtype=q.dtype)
+
+
+def quat_act(q, X):
+    """Rotate vectors X (..., 3) by unit quaternions q (..., 4)."""
+    qv = q[..., :3]
+    qw = q[..., 3:4]
+    uv = 2.0 * jnp.cross(qv, X)
+    return X + qw * uv + jnp.cross(qv, uv)
+
+
+def quat_normalize(q):
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Sim(3) group ops on the 8-float embedding
+# ---------------------------------------------------------------------------
+
+def identity(batch_shape=(), dtype=jnp.float32):
+    T = jnp.zeros(tuple(batch_shape) + (8,), dtype=dtype)
+    return T.at[..., 6].set(1.0).at[..., 7].set(1.0)  # qw = 1, s = 1
+
+
+def t_of(T):
+    return T[..., 0:3]
+
+
+def q_of(T):
+    return T[..., 3:7]
+
+
+def s_of(T):
+    return T[..., 7:8]
+
+
+def make(t, q, s):
+    s = jnp.asarray(s)
+    if s.ndim < t.ndim:
+        s = s[..., None]
+    return jnp.concatenate([t, q, s], axis=-1)
+
+
+def act(T, X):
+    """Apply Sim3: s * R X + t. X (..., 3) broadcasts against T (..., 8)."""
+    return s_of(T) * quat_act(q_of(T), X) + t_of(T)
+
+
+def mul(Ta, Tb):
+    """Compose Ta * Tb."""
+    t = s_of(Ta) * quat_act(q_of(Ta), t_of(Tb)) + t_of(Ta)
+    q = quat_mul(q_of(Ta), q_of(Tb))
+    s = s_of(Ta) * s_of(Tb)
+    return jnp.concatenate([t, q, s], axis=-1)
+
+
+def inv(T):
+    """Inverse: s'=1/s, R'=R^T, t' = -(1/s) R^T t."""
+    s_inv = 1.0 / s_of(T)
+    qi = quat_inv(q_of(T))
+    t = -s_inv * quat_act(qi, t_of(T))
+    return jnp.concatenate([t, qi, s_inv], axis=-1)
+
+
+def rel(Ti, Tj):
+    """Relative transform inv(Ti) * Tj (reference relSim3,
+    gn_kernels.cu:252-272)."""
+    si_inv = 1.0 / s_of(Ti)
+    qi_inv = quat_inv(q_of(Ti))
+    q = quat_mul(qi_inv, q_of(Tj))
+    t = si_inv * quat_act(qi_inv, t_of(Tj) - t_of(Ti))
+    s = si_inv * s_of(Tj)
+    return jnp.concatenate([t, q, s], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Exponential map and retraction
+# ---------------------------------------------------------------------------
+
+def _safe_sqrt(x):
+    return jnp.sqrt(jnp.maximum(x, 1e-24))
+
+
+def exp_so3_quat(phi):
+    """SO(3) exp to a quaternion, with 4th-order Taylor near zero
+    (reference expSO3, gn_kernels.cu:299-321)."""
+    theta_sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
+    theta = _safe_sqrt(theta_sq)
+    theta_p4 = theta_sq * theta_sq
+    small = theta_sq < _EPS
+    imag = jnp.where(
+        small,
+        0.5 - (1.0 / 48.0) * theta_sq + (1.0 / 3840.0) * theta_p4,
+        jnp.sin(0.5 * theta) / theta,
+    )
+    real = jnp.where(
+        small,
+        1.0 - (1.0 / 8.0) * theta_sq + (1.0 / 384.0) * theta_p4,
+        jnp.cos(0.5 * theta),
+    )
+    return jnp.concatenate([imag * phi, real], axis=-1)
+
+
+def _sim3_W_coeffs(theta_sq, sigma, scale):
+    """Coefficients (A, B, C) of W = C I + A Phi + B Phi^2 such that
+    t = W tau for the Sim(3) exponential (reference expSim3,
+    gn_kernels.cu:323-390, itself following Sophus RxSO3)."""
+    theta = _safe_sqrt(theta_sq)
+    small_theta = theta_sq < _EPS * _EPS  # reference: fabs(theta) < EPS
+    small_sigma = jnp.abs(sigma) < _EPS
+
+    # Guarded denominators
+    th2_safe = jnp.where(small_theta, 1.0, theta_sq)
+    th_safe = jnp.where(small_theta, 1.0, theta)
+    sig_safe = jnp.where(small_sigma, 1.0, sigma)
+    sig2_safe = sig_safe * sig_safe
+
+    # Case 1: sigma ~ 0
+    C1 = jnp.ones_like(sigma)
+    A1 = jnp.where(small_theta, 0.5, (1.0 - jnp.cos(theta)) / th2_safe)
+    B1 = jnp.where(
+        small_theta, 1.0 / 6.0, (theta - jnp.sin(theta)) / (th2_safe * th_safe)
+    )
+
+    # Case 2: sigma != 0
+    C2 = (scale - 1.0) / sig_safe
+    # 2a: theta ~ 0
+    A2a = ((sig_safe - 1.0) * scale + 1.0) / sig2_safe
+    B2a = (scale * 0.5 * sig2_safe + scale - 1.0 - sig_safe * scale) / (
+        sig2_safe * sig_safe
+    )
+    # 2b: theta != 0
+    a = scale * jnp.sin(theta)
+    b = scale * jnp.cos(theta)
+    c = theta_sq + sigma * sigma
+    c_safe = jnp.where(c == 0.0, 1.0, c)
+    A2b = (a * sig_safe + (1.0 - b) * th_safe) / (th_safe * c_safe)
+    B2b = (C2 - ((b - 1.0) * sig_safe + a * th_safe) / c_safe) / th2_safe
+
+    A2 = jnp.where(small_theta, A2a, A2b)
+    B2 = jnp.where(small_theta, B2a, B2b)
+
+    A = jnp.where(small_sigma, A1, A2)
+    B = jnp.where(small_sigma, B1, B2)
+    C = jnp.where(small_sigma, C1, C2)
+    return A, B, C
+
+
+def exp(xi):
+    """Sim(3) exponential: tangent (..., 7) [tau, omega, sigma] -> (..., 8)."""
+    tau = xi[..., 0:3]
+    phi = xi[..., 3:6]
+    sigma = xi[..., 6:7]
+
+    scale = jnp.exp(sigma)
+    q = exp_so3_quat(phi)
+
+    theta_sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
+    A, B, C = _sim3_W_coeffs(theta_sq, sigma, scale)
+
+    phi_x_tau = jnp.cross(phi, tau)
+    phi_x_phi_x_tau = jnp.cross(phi, phi_x_tau)
+    t = C * tau + A * phi_x_tau + B * phi_x_phi_x_tau
+    return jnp.concatenate([t, q, scale], axis=-1)
+
+
+def retr(T, xi):
+    """Left retraction exp(xi) * T (reference retrSim3,
+    gn_kernels.cu:392-413; lietorch .retr)."""
+    return mul(exp(xi), T)
+
+
+def apply_adj_inv(T, v):
+    """Row-vector application of the inverse adjoint used to turn a local
+    (camera-i-frame) Jacobian row into a world-frame Jacobian row
+    (reference apply_Sim3_adj_inv, gn_kernels.cu:277-297).
+
+    v is (..., 7) ordered [a(3), b(3), c(1)]; T is the world pose T_WCi.
+    """
+    t, q, s = t_of(T), q_of(T), s_of(T)
+    s_inv = 1.0 / s
+    a, b, c = v[..., 0:3], v[..., 3:6], v[..., 6:7]
+    Ra = quat_act(q, a)
+    y0 = s_inv * Ra
+    y1 = quat_act(q, b) + s_inv * jnp.cross(t, Ra)
+    y2 = c + s_inv * jnp.sum(t * Ra, axis=-1, keepdims=True)
+    return jnp.concatenate([y0, y1, y2], axis=-1)
+
+
+def as_se3(T):
+    """Drop the scale, folding it into nothing (trajectory export parity
+    with `/root/reference/mast3r_slam/lietorch_utils.py:6-13`: Sim3 -> SE3
+    keeps t and q, discards s)."""
+    return jnp.concatenate(
+        [t_of(T), quat_normalize(q_of(T)), jnp.ones_like(s_of(T))], axis=-1
+    )
+
+
+def sim3_matrix(T):
+    """Dense 4x4 matrix [[sR, t], [0, 1]] (for tests/export)."""
+    q = q_of(T)
+    x, y, z, w = jnp.moveaxis(q, -1, 0)
+    R = jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        axis=-2,
+    )
+    sR = s_of(T)[..., None] * R
+    top = jnp.concatenate([sR, t_of(T)[..., None]], axis=-1)
+    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def act_jac(T, X):
+    """Point action with the analytic Jacobian wrt a LEFT perturbation of T:
+    d/d_xi [exp(xi) T](X) = [I | -skew(pW) | pW]  evaluated at pW = T(X).
+
+    Mirrors `/root/reference/mast3r_slam/geometry.py:45-52` (act_Sim3).
+    Returns (pW (...,3), J (...,3,7)).
+    """
+    pW = act(T, X)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=pW.dtype), pW.shape[:-1] + (3, 3))
+    J = jnp.concatenate([eye, -skew(pW), pW[..., :, None]], axis=-1)
+    return pW, J
+
+
+def skew(v):
+    """(..., 3) -> (..., 3, 3) cross-product matrix."""
+    x, y, z = jnp.moveaxis(v, -1, 0)
+    o = jnp.zeros_like(x)
+    return jnp.stack(
+        [o, -z, y, z, o, -x, -y, x, o], axis=-1
+    ).reshape(v.shape[:-1] + (3, 3))

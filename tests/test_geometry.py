@@ -1,0 +1,95 @@
+"""Geometry Jacobians vs jax autodiff; backprojection/projection roundtrips."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mast3r_slam_tpu.ops import geometry as geom
+
+
+def test_point_to_ray_dist_jacobian(rng):
+    X = jnp.asarray(rng.standard_normal((16, 3)) + 3.0, dtype=jnp.float32)
+    rd, J = geom.point_to_ray_dist(X, jacobian=True)
+    assert rd.shape == (16, 4) and J.shape == (16, 4, 3)
+    J_auto = jax.vmap(jax.jacfwd(lambda x: geom.point_to_ray_dist(x)))(X)
+    np.testing.assert_allclose(J, J_auto, atol=1e-5)
+    np.testing.assert_allclose(
+        jnp.linalg.norm(rd[:, :3], axis=-1), 1.0, atol=1e-6
+    )
+
+
+def test_project_calib_jacobian(rng):
+    K = jnp.asarray([[300.0, 0, 128], [0, 300.0, 96], [0, 0, 1]])
+    P = jnp.asarray(rng.standard_normal((32, 3)), dtype=jnp.float32)
+    P = P.at[:, 2].set(jnp.abs(P[:, 2]) + 1.0)
+    pz, J, valid = geom.project_calib(P, K, (192, 256), jacobian=True)
+
+    def f(p):
+        out, _ = geom.project_calib(p, K, (192, 256))
+        return out
+
+    J_auto = jax.vmap(jax.jacfwd(f))(P)
+    np.testing.assert_allclose(J, J_auto, atol=1e-4)
+
+
+def test_project_backproject_roundtrip(rng):
+    K = jnp.asarray([[300.0, 0, 128], [0, 300.0, 96], [0, 0, 1]])
+    uv = jnp.asarray(rng.uniform(0, 200, size=(20, 2)), dtype=jnp.float32)
+    z = jnp.asarray(rng.uniform(0.5, 5.0, size=(20, 1)), dtype=jnp.float32)
+    P = geom.backproject(uv, z, K)
+    pz, valid = geom.project_calib(P, K, (192, 256), border=-1000)
+    np.testing.assert_allclose(pz[:, :2], uv, atol=1e-3)
+    np.testing.assert_allclose(pz[:, 2:3], jnp.log(z), atol=1e-5)
+
+
+def test_constrain_points_to_ray(rng):
+    K = jnp.asarray([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]])
+    h, w = 48, 64
+    X = jnp.asarray(rng.standard_normal((1, h * w, 3)), dtype=jnp.float32)
+    X = X.at[..., 2].set(jnp.abs(X[..., 2]) + 1.0)
+    Xc = geom.constrain_points_to_ray((h, w), X, K)
+    # Depth preserved
+    np.testing.assert_allclose(Xc[..., 2], X[..., 2], atol=1e-6)
+    # Constrained points project exactly onto the pixel grid
+    pz, _ = geom.project_calib(Xc, K, (h, w), border=-10000)
+    uv = geom.get_pixel_coords(1, (h, w)).reshape(1, -1, 2)
+    np.testing.assert_allclose(pz[..., :2], uv, atol=1e-3)
+
+
+def test_pixel_coords_order():
+    uv = geom.get_pixel_coords(1, (2, 3))
+    # (u, v) ordering: u varies along width
+    np.testing.assert_allclose(uv[0, 0, :, 0], [0, 1, 2])
+    np.testing.assert_allclose(uv[0, :, 0, 1], [0, 1])
+
+
+def test_img_gradient_matches_conv(rng):
+    """Shifted-add Scharr equals explicit conv with reflect padding."""
+    from mast3r_slam_tpu.ops.image import img_gradient
+
+    img = jnp.asarray(rng.standard_normal((2, 8, 10, 3)), dtype=jnp.float32)
+    gx, gy = img_gradient(img)
+
+    kx = np.array([[-3, 0, 3], [-10, 0, 10], [-3, 0, 3]], dtype=np.float32) / 32
+    ky = kx.T
+    p = np.pad(np.asarray(img), ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    gx_ref = np.zeros_like(img)
+    gy_ref = np.zeros_like(img)
+    for dy in range(3):
+        for dx in range(3):
+            gx_ref += kx[dy, dx] * p[:, dy:dy + 8, dx:dx + 10, :]
+            gy_ref += ky[dy, dx] * p[:, dy:dy + 8, dx:dx + 10, :]
+    np.testing.assert_allclose(gx, gx_ref, atol=1e-5)
+    np.testing.assert_allclose(gy, gy_ref, atol=1e-5)
+
+
+def test_huber_tukey():
+    from mast3r_slam_tpu.ops.robust import huber, tukey
+
+    r = jnp.asarray([-3.0, -0.5, 0.0, 0.5, 3.0])
+    w = huber(r, k=1.345)
+    np.testing.assert_allclose(w[2], 1.0)
+    np.testing.assert_allclose(w[0], 1.345 / 3.0, rtol=1e-6)
+    wt = tukey(r, t=4.6851)
+    assert float(wt[2]) == 1.0
+    assert float(tukey(jnp.asarray([5.0]), t=4.6851)[0]) == 0.0

@@ -1,0 +1,111 @@
+"""Matcher tests: self-projection identity oracle (the reference's
+idx_init=arange identity initialization gives the ground truth), convergence
+from perturbed inits, descriptor refinement snapping."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mast3r_slam_tpu.ops import matching
+from mast3r_slam_tpu.ops.geometry import backproject, get_pixel_coords
+
+
+def synthetic_pointmap(h, w, seed=0):
+    """Smooth synthetic pointmap via backprojection of a smooth depth field."""
+    K = jnp.asarray(
+        [[2.0 * w, 0, w / 2], [0, 2.0 * w, h / 2], [0, 0, 1]], dtype=jnp.float32
+    )
+    uv = get_pixel_coords(1, (h, w))
+    u, v = uv[..., 0], uv[..., 1]
+    z = 2.0 + 0.3 * jnp.sin(2 * jnp.pi * u / w) * jnp.cos(2 * jnp.pi * v / h)
+    X = backproject(uv, z[..., None], K)
+    return X  # (1, h, w, 3)
+
+
+def unique_descriptors(h, w, f=24, seed=0):
+    """Spatially smooth, locally discriminative descriptors (multi-frequency
+    positional encodings): dot(D(p), D(q)) peaks at p == q and decays with
+    |p - q|.  Real MASt3R descriptors are spatially smooth too — random
+    descriptors would break the coarse-to-fine dilated search by design."""
+    u = np.arange(w)[None, :].repeat(h, 0) / w
+    v = np.arange(h)[:, None].repeat(w, 1) / h
+    feats = []
+    for k in range(f // 4):
+        freq = 2.0 * np.pi * (k + 1)
+        feats += [np.sin(freq * u), np.cos(freq * u),
+                  np.sin(freq * v), np.cos(freq * v)]
+    D = np.stack(feats, axis=-1).astype(np.float32)[None]
+    D /= np.linalg.norm(D, axis=-1, keepdims=True)
+    return jnp.asarray(D)
+
+
+def test_self_match_identity():
+    h, w = 24, 32
+    X = synthetic_pointmap(h, w)
+    D = unique_descriptors(h, w)
+    cfg = matching.MatchingConfig()
+    idx, valid = matching.match(X, X, D, D, cfg=cfg)
+    ident = jnp.arange(h * w)[None]
+    frac_exact = float(jnp.mean(idx == ident))
+    assert frac_exact > 0.99, frac_exact
+    # border ring cannot converge (iter_proj clamps to [1, w-2]) — interior
+    # validity should be complete
+    valid_img = valid.reshape(h, w)
+    assert float(valid_img[2:-2, 2:-2].mean()) > 0.99
+    assert float(valid.mean()) > 0.80
+
+
+def test_iter_proj_recovers_from_offset():
+    h, w = 24, 32
+    X = synthetic_pointmap(h, w)
+    rays_img, pts3d_norm, p_init = matching.prep_for_iter_proj(X, X, None)
+    # Perturb the init by 2 pixels
+    p_shifted = p_init + 2.0
+    p_new, conv = matching.iter_proj(
+        rays_img, pts3d_norm, p_shifted, max_iter=30, lambda_init=1e-8,
+        cost_thresh=1e-6,
+    )
+    # Interior pixels should come back to themselves
+    err = jnp.abs(p_new - p_init).max(axis=-1).reshape(h, w)
+    interior = err[4:-4, 4:-4]
+    assert float(jnp.median(interior)) < 0.5
+    assert float(conv.reshape(h, w)[4:-4, 4:-4].mean()) > 0.8
+
+
+def test_refine_matches_snaps_to_true_pixel():
+    h, w, f = 16, 20, 24
+    D = unique_descriptors(h, w, f)
+    D21 = D.reshape(1, h * w, f)
+    p_true = matching.lin_to_pixel(jnp.arange(h * w)[None], w).astype(jnp.int32)
+    rng = np.random.default_rng(1)
+    p_noisy = p_true + jnp.asarray(
+        rng.integers(-2, 3, size=p_true.shape), dtype=jnp.int32
+    )
+    p_noisy = jnp.clip(p_noisy, 0, jnp.asarray([w - 1, h - 1]))
+    p_ref = matching.refine_matches(
+        D.astype(jnp.bfloat16), D21.astype(jnp.bfloat16), p_noisy,
+        radius=3, dilation_max=5,
+    )
+    # unique random descriptors: dot with self ~1, others << 1
+    exact = jnp.all(p_ref == p_true, axis=-1).reshape(h, w)
+    # interior snaps exactly; borders may lose reachability under clipping
+    assert float(exact[3:-3, 3:-3].mean()) > 0.99, float(exact.mean())
+    assert float(exact.mean()) > 0.90
+
+
+def test_match_asymmetric_valid_occlusion():
+    """Points far from any X11 point should be marked invalid by the
+    3D-distance occlusion check."""
+    h, w = 16, 20
+    X11 = synthetic_pointmap(h, w)
+    X21 = X11 + jnp.asarray([5.0, 0.0, 0.0])  # huge 3D offset: all occluded
+    D = unique_descriptors(h, w)
+    idx, valid = matching.match(X11, X21, D, D)
+    assert float(valid.mean()) < 0.05
+
+
+def test_lin_pixel_roundtrip():
+    w = 17
+    idx = jnp.arange(0, 17 * 5)
+    p = matching.lin_to_pixel(idx, w)
+    np.testing.assert_array_equal(matching.pixel_to_lin(p, w), idx)
