@@ -1,0 +1,263 @@
+"""Frame state and the keyframe map arena.
+
+Capability parity with `/root/reference/mast3r_slam/frame.py`: the ``Frame``
+record with its pointmap-fusion modes (frame.py:41-105), and the
+``SharedKeyframes`` preallocated keyframe store (frame.py:220-327) — rebuilt
+functionally: the arena is a pytree of fixed-shape device arrays updated with
+``.at[idx].set`` donation-friendly writes instead of lock-guarded shared CUDA
+memory.  The multiprocessing ``SharedStates`` mailbox becomes plain driver
+state in `pipeline.py` (one process, async dispatch).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .ops import lie_sim3 as sim3
+
+
+class Mode(enum.Enum):
+    INIT = 0
+    TRACKING = 1
+    RELOC = 2
+    TERMINATED = 3
+
+
+class FilteringMode(enum.IntEnum):
+    """Pointmap fusion modes (frame.py:41-105)."""
+    FIRST = 0
+    RECENT = 1
+    BEST_SCORE = 2
+    INDEP_CONF = 3
+    WEIGHTED_POINTMAP = 4
+    WEIGHTED_SPHERICAL = 5
+
+    @classmethod
+    def from_str(cls, s: str) -> "FilteringMode":
+        return {
+            "first": cls.FIRST,
+            "recent": cls.RECENT,
+            "best_score": cls.BEST_SCORE,
+            "indep_conf": cls.INDEP_CONF,
+            "weighted_pointmap": cls.WEIGHTED_POINTMAP,
+            "weighted_spherical": cls.WEIGHTED_SPHERICAL,
+        }[s]
+
+
+@struct.dataclass
+class Frame:
+    """Device-side frame record (img normalized, canonical pointmap, encoder
+    feature cache).  All arrays fixed-shape."""
+    frame_id: jnp.ndarray          # () int32
+    img: jnp.ndarray               # (h, w, 3) float32 (normalized)
+    uimg: jnp.ndarray              # (h, w, 3) float32 in [0,1] (viz/export)
+    T_WC: jnp.ndarray              # (8,) Sim3
+    X_canon: jnp.ndarray           # (h*w, 3)
+    C: jnp.ndarray                 # (h*w, 1)
+    feat: jnp.ndarray              # (n_patches, enc_dim) float32
+    pos: jnp.ndarray               # (n_patches, 2) int32
+    N: jnp.ndarray                 # () int32   fusion accumulation count
+    N_updates: jnp.ndarray         # () int32
+    score: jnp.ndarray             # () float32 (best_score mode)
+
+    @property
+    def hw(self):
+        return self.img.shape[0] * self.img.shape[1]
+
+    def get_average_conf(self):
+        """C / N (frame.py:107-108)."""
+        return self.C / jnp.maximum(self.N, 1).astype(self.C.dtype)
+
+
+def make_empty_frame(h: int, w: int, n_patches: int, feat_dim: int) -> Frame:
+    return Frame(
+        frame_id=jnp.zeros((), jnp.int32),
+        img=jnp.zeros((h, w, 3), jnp.float32),
+        uimg=jnp.zeros((h, w, 3), jnp.float32),
+        T_WC=sim3.identity(),
+        X_canon=jnp.zeros((h * w, 3), jnp.float32),
+        C=jnp.zeros((h * w, 1), jnp.float32),
+        feat=jnp.zeros((n_patches, feat_dim), jnp.float32),
+        pos=jnp.zeros((n_patches, 2), jnp.int32),
+        N=jnp.zeros((), jnp.int32),
+        N_updates=jnp.zeros((), jnp.int32),
+        score=jnp.zeros((), jnp.float32),
+    )
+
+
+def _cartesian_to_spherical(P):
+    r = jnp.linalg.norm(P, axis=-1, keepdims=True)
+    x, y, z = jnp.split(P, 3, axis=-1)
+    phi = jnp.arctan2(y, x)
+    theta = jnp.arccos(jnp.clip(z / jnp.maximum(r, 1e-12), -1.0, 1.0))
+    return jnp.concatenate([r, phi, theta], axis=-1)
+
+
+def _spherical_to_cartesian(s):
+    r, phi, theta = jnp.split(s, 3, axis=-1)
+    x = r * jnp.sin(theta) * jnp.cos(phi)
+    y = r * jnp.sin(theta) * jnp.sin(phi)
+    z = r * jnp.cos(theta)
+    return jnp.concatenate([x, y, z], axis=-1)
+
+
+def update_pointmap(frame: Frame, X, C, mode: FilteringMode,
+                    use_median_score: bool = True) -> Frame:
+    """Functional pointmap fusion (frame.py:41-105), all six modes.
+
+    ``mode`` is static (config-time); the first-update case is handled with
+    a traced where on frame.N.
+    """
+    first = frame.N == 0
+
+    if mode == FilteringMode.FIRST:
+        # keep existing unless this is the first or second update
+        keep_new = first | (frame.N_updates == 1)
+        X_new = jnp.where(keep_new, X, frame.X_canon)
+        C_new = jnp.where(keep_new, C, frame.C)
+        N_new = jnp.where(first, 1, frame.N)
+        score_new = frame.score
+    elif mode == FilteringMode.RECENT:
+        X_new, C_new = X, C
+        N_new = jnp.ones((), jnp.int32)
+        score_new = frame.score
+    elif mode == FilteringMode.BEST_SCORE:
+        new_score = jnp.median(C) if use_median_score else jnp.mean(C)
+        better = first | (new_score > frame.score)
+        X_new = jnp.where(better, X, frame.X_canon)
+        C_new = jnp.where(better, C, frame.C)
+        N_new = jnp.ones((), jnp.int32)
+        score_new = jnp.where(better, new_score, frame.score)
+    elif mode == FilteringMode.INDEP_CONF:
+        better = first | (C > frame.C)
+        X_new = jnp.where(better, X, frame.X_canon)
+        C_new = jnp.where(better, C, frame.C)
+        N_new = jnp.ones((), jnp.int32)
+        score_new = frame.score
+    elif mode == FilteringMode.WEIGHTED_POINTMAP:
+        denom = jnp.maximum(frame.C + C, 1e-12)
+        X_fused = (frame.C * frame.X_canon + C * X) / denom
+        X_new = jnp.where(first, X, X_fused)
+        C_new = jnp.where(first, C, frame.C + C)
+        N_new = jnp.where(first, 1, frame.N + 1)
+        score_new = frame.score
+    elif mode == FilteringMode.WEIGHTED_SPHERICAL:
+        s_old = _cartesian_to_spherical(frame.X_canon)
+        s_new = _cartesian_to_spherical(X)
+        denom = jnp.maximum(frame.C + C, 1e-12)
+        fused = _spherical_to_cartesian(
+            (frame.C * s_old + C * s_new) / denom
+        )
+        X_new = jnp.where(first, X, fused)
+        C_new = jnp.where(first, C, frame.C + C)
+        N_new = jnp.where(first, 1, frame.N + 1)
+        score_new = frame.score
+    else:  # pragma: no cover
+        raise ValueError(mode)
+
+    return frame.replace(
+        X_canon=X_new, C=C_new,
+        N=N_new.astype(jnp.int32),
+        N_updates=frame.N_updates + 1,
+        score=score_new,
+    )
+
+
+@struct.dataclass
+class KeyframeArena:
+    """Fixed-capacity keyframe store (functional SharedKeyframes analog,
+    frame.py:220-327).  Fields stacked along a leading [buffer] axis; the
+    fill count lives on the host driver (`n_size` here is a device scalar so
+    jitted consumers can mask)."""
+    frame_id: jnp.ndarray      # (B,) int32
+    img: jnp.ndarray           # (B, h, w, 3)
+    uimg: jnp.ndarray          # (B, h, w, 3)
+    T_WC: jnp.ndarray          # (B, 8)
+    X: jnp.ndarray             # (B, h*w, 3)
+    C: jnp.ndarray             # (B, h*w, 1)
+    N: jnp.ndarray             # (B,) int32
+    N_updates: jnp.ndarray     # (B,) int32
+    feat: jnp.ndarray          # (B, n_patches, feat_dim)
+    pos: jnp.ndarray           # (B, n_patches, 2) int32
+    n_size: jnp.ndarray        # () int32
+    K: jnp.ndarray             # (3, 3) intrinsics (zeros if uncalibrated)
+
+    @property
+    def buffer(self):
+        return self.frame_id.shape[0]
+
+    @property
+    def img_hw(self):
+        return self.img.shape[1], self.img.shape[2]
+
+
+def make_arena(buffer: int, h: int, w: int, n_patches: int,
+               feat_dim: int) -> KeyframeArena:
+    return KeyframeArena(
+        frame_id=jnp.zeros((buffer,), jnp.int32),
+        img=jnp.zeros((buffer, h, w, 3), jnp.float32),
+        uimg=jnp.zeros((buffer, h, w, 3), jnp.float32),
+        T_WC=jnp.broadcast_to(sim3.identity(), (buffer, 8)),
+        X=jnp.zeros((buffer, h * w, 3), jnp.float32),
+        C=jnp.zeros((buffer, h * w, 1), jnp.float32),
+        N=jnp.zeros((buffer,), jnp.int32),
+        N_updates=jnp.zeros((buffer,), jnp.int32),
+        feat=jnp.zeros((buffer, n_patches, feat_dim), jnp.float32),
+        pos=jnp.zeros((buffer, n_patches, 2), jnp.int32),
+        n_size=jnp.zeros((), jnp.int32),
+        K=jnp.zeros((3, 3), jnp.float32),
+    )
+
+
+def arena_set(arena: KeyframeArena, idx, frame: Frame) -> KeyframeArena:
+    """Write a frame into slot idx (frame.py:271-289)."""
+    idx = jnp.asarray(idx, jnp.int32)
+    return arena.replace(
+        frame_id=arena.frame_id.at[idx].set(frame.frame_id),
+        img=arena.img.at[idx].set(frame.img),
+        uimg=arena.uimg.at[idx].set(frame.uimg),
+        T_WC=arena.T_WC.at[idx].set(frame.T_WC),
+        X=arena.X.at[idx].set(frame.X_canon),
+        C=arena.C.at[idx].set(frame.C),
+        N=arena.N.at[idx].set(frame.N),
+        N_updates=arena.N_updates.at[idx].set(frame.N_updates),
+        feat=arena.feat.at[idx].set(frame.feat),
+        pos=arena.pos.at[idx].set(frame.pos),
+        n_size=jnp.maximum(arena.n_size, idx + 1),
+    )
+
+
+def arena_append(arena: KeyframeArena, frame: Frame) -> KeyframeArena:
+    return arena_set(arena, arena.n_size, frame)
+
+
+def arena_get(arena: KeyframeArena, idx) -> Frame:
+    """Read a frame out of slot idx (frame.py:250-269)."""
+    idx = jnp.asarray(idx, jnp.int32)
+    return Frame(
+        frame_id=arena.frame_id[idx],
+        img=arena.img[idx],
+        uimg=arena.uimg[idx],
+        T_WC=arena.T_WC[idx],
+        X_canon=arena.X[idx],
+        C=arena.C[idx],
+        feat=arena.feat[idx],
+        pos=arena.pos[idx],
+        N=arena.N[idx],
+        N_updates=arena.N_updates[idx],
+        score=jnp.zeros((), jnp.float32),
+    )
+
+
+def arena_pop_last(arena: KeyframeArena) -> KeyframeArena:
+    return arena.replace(n_size=jnp.maximum(arena.n_size - 1, 0))
+
+
+def arena_update_poses(arena: KeyframeArena, T_WCs, idx) -> KeyframeArena:
+    """Scatter optimized poses back (frame.py:309-311)."""
+    return arena.replace(T_WC=arena.T_WC.at[idx].set(T_WCs))

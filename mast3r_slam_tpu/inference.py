@@ -1,0 +1,239 @@
+"""Inference adapters around the MASt3R network.
+
+Capability parity with `/root/reference/mast3r_slam/mast3r_utils.py`
+(mono / asymmetric / symmetric-batch two-view inference, output
+downsampling, image resize-to-network-shape), redesigned so each pipeline
+step is a single jitted computation:
+
+* the reference's per-edge Python loop in ``mast3r_decode_symmetric_batch``
+  (mast3r_utils.py:113-147) becomes ONE batched decoder call — both
+  directions of every edge are decoded in a single 2E-batch forward, which
+  is exactly the kind of large fused matmul batch the MXU wants;
+* encoder feature caching (frame.feat) is preserved;
+* the fp32-head / bf16-trunk split mirrors the reference autocast policy.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.mast3r import MASt3R, MASt3RConfig
+from .ops import matching
+
+
+class InferenceEngine:
+    """Holds the model + params and exposes jitted inference entry points.
+
+    img_hw is fixed per run (static shapes); downsample mirrors
+    config['dataset']['img_downsample'] (mast3r_utils.py:69-78).
+    """
+
+    def __init__(self, model: MASt3R, params, img_hw: Tuple[int, int],
+                 downsample: int = 1,
+                 match_cfg: matching.MatchingConfig | None = None):
+        self.model = model
+        self.params = params
+        self.img_hw = img_hw
+        self.downsample = downsample
+        self.match_cfg = match_cfg or matching.MatchingConfig()
+
+        self._encode = jax.jit(
+            lambda p, img: model.apply(p, img, method=MASt3R.encode)
+        )
+        self._decode_head = jax.jit(
+            functools.partial(self._decode_head_impl, img_hw)
+        )
+        self._match_asym = jax.jit(self._match_asymmetric_impl)
+        self._match_sym = jax.jit(self._match_symmetric_impl)
+
+    # -- internals ---------------------------------------------------------
+
+    def _decode_head_impl(self, img_hw, params, f1, pos1, f2, pos2):
+        res1, res2 = self.model.apply(
+            params, f1, pos1, f2, pos2, img_hw,
+            method=MASt3R.decode_and_head,
+        )
+        return self._pack(res1), self._pack(res2)
+
+    def _pack(self, res):
+        """Stack head outputs to (B, h, w, ...) with optional downsample
+        (mast3r_utils.py:69-78)."""
+        ds = self.downsample
+        X, C = res["pts3d"], res["conf"]
+        D, Q = res["desc"], res["desc_conf"]
+        if ds > 1:
+            X = X[:, ::ds, ::ds]
+            C = C[:, ::ds, ::ds]
+            D = D[:, ::ds, ::ds]
+            Q = Q[:, ::ds, ::ds]
+        return X, C, D, Q
+
+    # -- public API (reference parity) ------------------------------------
+
+    def encode(self, img):
+        """img (B, h, w, 3) -> (feat (B, N, C) fp32, pos (B, N, 2))."""
+        return self._encode(self.params, img)
+
+    def decode_pair(self, feat1, pos1, feat2, pos2):
+        """One asymmetric two-view decode (reference decoder(),
+        mast3r_utils.py:60-66). Returns ((X,C,D,Q) for view1, for view2)."""
+        return self._decode_head(self.params, feat1, pos1, feat2, pos2)
+
+    def inference_mono(self, feat, pos):
+        """Self-pair decode (mast3r_utils.py:15-38). feat (1, N, C).
+        Returns Xii (1, hw, 3), Cii (1, hw, 1)."""
+        (X, C, _, _), _ = self.decode_pair(feat, pos, feat, pos)
+        b = X.shape[0]
+        return X.reshape(b, -1, 3), C.reshape(b, -1, 1)
+
+    def match_asymmetric(self, frame_feat, frame_pos, kf_feat, kf_pos,
+                         idx_i2j_init=None):
+        """Asymmetric inference + dense match (mast3r_utils.py:220-242).
+
+        Inputs are (1, N, C) cached encoder features.  Returns
+        (idx_f2k (1, hw), valid_match (1, hw, 1), Xff, Cff, Qff, Xkf, Ckf,
+        Qkf) with pointmaps flattened (1, hw, ...).  idx init None means
+        identity (arange), matching the reference reset semantics."""
+        if idx_i2j_init is None:
+            ds = self.downsample
+            hw = (self.img_hw[0] // ds) * (self.img_hw[1] // ds)
+            idx_i2j_init = jnp.broadcast_to(
+                jnp.arange(hw, dtype=jnp.int32)[None],
+                (frame_feat.shape[0], hw),
+            )
+        return self._match_asym(
+            self.params, frame_feat, frame_pos, kf_feat, kf_pos,
+            idx_i2j_init,
+        )
+
+    def _match_asymmetric_impl(self, params, frame_feat, frame_pos, kf_feat,
+                               kf_pos, idx_i2j_init):
+        (Xii, Cii, Dii, Qii), (Xji, Cji, Dji, Qji) = self._decode_head(
+            params, frame_feat, frame_pos, kf_feat, kf_pos
+        )
+        idx_i2j, valid_match_j = matching.match(
+            Xii, Xji, Dii, Dji, idx_1_to_2_init=idx_i2j_init,
+            cfg=self.match_cfg,
+        )
+        b = Xii.shape[0]
+        flat3 = lambda A: A.reshape(b, -1, A.shape[-1])
+        flat1 = lambda A: A.reshape(b, -1, 1)
+        return (
+            idx_i2j, valid_match_j,
+            flat3(Xii), flat1(Cii), flat1(Qii),
+            flat3(Xji), flat1(Cji), flat1(Qji),
+        )
+
+    def decode_symmetric_batch(self, feat_i, pos_i, feat_j, pos_j):
+        """Both directions of E edges in one 2E-batch decode
+        (replaces the reference per-edge loop, mast3r_utils.py:113-147).
+
+        feat_i/j: (E, N, C).  Returns X, C, D, Q each (4, E, h, w, ...),
+        ordered [ii, ji, jj, ij] like the reference."""
+        return self._decode_symmetric_batch_impl(
+            self.params, feat_i, pos_i, feat_j, pos_j
+        )
+
+    def _decode_symmetric_batch_impl(self, params, feat_i, pos_i, feat_j,
+                                     pos_j):
+        f1 = jnp.concatenate([feat_i, feat_j], axis=0)
+        p1 = jnp.concatenate([pos_i, pos_j], axis=0)
+        f2 = jnp.concatenate([feat_j, feat_i], axis=0)
+        p2 = jnp.concatenate([pos_j, pos_i], axis=0)
+        (X1, C1, D1, Q1), (X2, C2, D2, Q2) = self._decode_head(
+            params, f1, p1, f2, p2
+        )
+        E = feat_i.shape[0]
+
+        def quad(A1, A2):
+            # A1 = [res11; res22], A2 = [res21; res12]
+            return jnp.stack([A1[:E], A2[:E], A1[E:], A2[E:]], axis=0)
+
+        return quad(X1, X2), quad(C1, C2), quad(D1, D2), quad(Q1, Q2)
+
+    def match_symmetric(self, feat_i, pos_i, feat_j, pos_j):
+        """Symmetric decode + two-directional match
+        (mast3r_utils.py:149-187)."""
+        return self._match_sym(self.params, feat_i, pos_i, feat_j, pos_j)
+
+    def _match_symmetric_impl(self, params, feat_i, pos_i, feat_j, pos_j):
+        X, C, D, Q = self._decode_symmetric_batch_impl(
+            params, feat_i, pos_i, feat_j, pos_j
+        )
+        Xii, Xji, Xjj, Xij = X[0], X[1], X[2], X[3]
+        Dii, Dji, Djj, Dij = D[0], D[1], D[2], D[3]
+        Qii, Qji, Qjj, Qij = Q[0], Q[1], Q[2], Q[3]
+
+        X11 = jnp.concatenate([Xii, Xjj], axis=0)
+        X21 = jnp.concatenate([Xji, Xij], axis=0)
+        D11 = jnp.concatenate([Dii, Djj], axis=0)
+        D21 = jnp.concatenate([Dji, Dij], axis=0)
+
+        idx_1_to_2, valid_match_2 = matching.match(
+            X11, X21, D11, D21, cfg=self.match_cfg
+        )
+        E = Xii.shape[0]
+        b = E
+        flat1 = lambda A: A.reshape(b, -1, 1)
+        return (
+            idx_1_to_2[:E], idx_1_to_2[E:],
+            valid_match_2[:E], valid_match_2[E:],
+            flat1(Qii), flat1(Qjj), flat1(Qji), flat1(Qij),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Image resize to network input shape (host-side, numpy)
+# ---------------------------------------------------------------------------
+
+IMGNORM_MEAN = np.array([0.5, 0.5, 0.5], dtype=np.float32)
+IMGNORM_STD = np.array([0.5, 0.5, 0.5], dtype=np.float32)
+
+
+def resize_img(img: np.ndarray, size: int = 512, square_ok: bool = False):
+    """Resize long side to ``size`` and center-crop H, W to multiples of 16
+    (reference resize_img, mast3r_utils.py:245-289; 224 square mode
+    included).  img: (H, W, 3) float in [0, 1].
+
+    Returns dict(img (1,h,w,3) normalized, true_shape (1,2) [h,w],
+    unnormalized_img (h,w,3) float [0,1]).
+    """
+    from PIL import Image
+
+    assert size in (224, 512)
+    pil = Image.fromarray(np.uint8(np.clip(img, 0, 1) * 255))
+    W1, H1 = pil.size
+
+    def _resize_long(p, long_edge):
+        S = max(p.size)
+        interp = Image.LANCZOS if S > long_edge else Image.BICUBIC
+        new_size = tuple(int(round(x * long_edge / S)) for x in p.size)
+        return p.resize(new_size, interp)
+
+    if size == 224:
+        pil = _resize_long(pil, round(size * max(W1 / H1, H1 / W1)))
+        W, H = pil.size
+        cx, cy = W // 2, H // 2
+        half = min(cx, cy)
+        pil = pil.crop((cx - half, cy - half, cx + half, cy + half))
+    else:
+        pil = _resize_long(pil, size)
+        W, H = pil.size
+        cx, cy = W // 2, H // 2
+        halfw, halfh = ((2 * cx) // 16) * 8, ((2 * cy) // 16) * 8
+        if not square_ok and W == H:
+            halfh = int(3 * halfw / 4)
+        pil = pil.crop((cx - halfw, cy - halfh, cx + halfw, cy + halfh))
+
+    arr = np.asarray(pil).astype(np.float32) / 255.0
+    normed = (arr - IMGNORM_MEAN) / IMGNORM_STD
+    return {
+        "img": normed[None],
+        "true_shape": np.int32([pil.size[::-1]]),
+        "unnormalized_img": arr,
+    }

@@ -1,0 +1,342 @@
+"""Frame tracker: two-view registration against the last keyframe.
+
+Capability parity with `/root/reference/mast3r_slam/tracker.py` (asymmetric
+inference + dense match, confidence gating, Gauss-Newton Sim(3) pose solve
+in ray+distance or calibrated pixel+log-depth flavors, pointmap fusion
+write-back, keyframe selection) — redesigned so the entire per-frame
+computation is ONE jitted function: the GN loop runs as a
+``lax.while_loop`` on device with traced convergence checks instead of the
+reference's per-iteration ``.item()`` host syncs, and the Cholesky-failure
+path (tracker.py:72-93) becomes a NaN-guard flag instead of a try/except.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .frame import Frame, FilteringMode, update_pointmap
+from .inference import InferenceEngine
+from .ops import lie_sim3 as sim3
+from .ops.geometry import (
+    constrain_points_to_ray,
+    get_pixel_coords,
+    point_to_ray_dist,
+    project_calib,
+)
+from .ops.robust import check_convergence, huber
+
+
+class TrackerConfig(NamedTuple):
+    """Static tracking parameters (config['tracking'])."""
+    min_match_frac: float = 0.05
+    max_iters: int = 50
+    C_conf: float = 0.0
+    Q_conf: float = 1.5
+    rel_error: float = 1e-3
+    delta_norm: float = 1e-3
+    huber_k: float = 1.345
+    match_frac_thresh: float = 0.333
+    sigma_ray: float = 0.003
+    sigma_dist: float = 10.0
+    sigma_pixel: float = 1.0
+    sigma_depth: float = 10.0
+    pixel_border: int = -10
+    depth_eps: float = 1e-6
+    filtering_mode: int = int(FilteringMode.WEIGHTED_POINTMAP)
+    use_median_score: bool = True
+    use_calib: bool = False
+
+    @classmethod
+    def from_config(cls, cfg: dict) -> "TrackerConfig":
+        t = cfg["tracking"]
+        return cls(
+            min_match_frac=float(t["min_match_frac"]),
+            max_iters=int(t["max_iters"]),
+            C_conf=float(t["C_conf"]),
+            Q_conf=float(t["Q_conf"]),
+            rel_error=float(t["rel_error"]),
+            delta_norm=float(t["delta_norm"]),
+            huber_k=float(t["huber"]),
+            match_frac_thresh=float(t["match_frac_thresh"]),
+            sigma_ray=float(t["sigma_ray"]),
+            sigma_dist=float(t["sigma_dist"]),
+            sigma_pixel=float(t["sigma_pixel"]),
+            sigma_depth=float(t["sigma_depth"]),
+            pixel_border=int(t["pixel_border"]),
+            depth_eps=float(t["depth_eps"]),
+            filtering_mode=int(
+                FilteringMode.from_str(t["filtering_mode"])
+            ),
+            use_median_score=t.get("filtering_score", "median") == "median",
+            use_calib=bool(cfg.get("use_calib", False)),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Gauss-Newton Sim(3) solvers (tracker.py:156-266 equivalents)
+# ---------------------------------------------------------------------------
+
+def _gn_solve_7x7(sqrt_info, r, J, huber_k):
+    """Whiten, robustify, assemble the 7x7 normal equations and solve
+    (reference FrameTracker.solve, tracker.py:156-171).
+
+    sqrt_info, r: (n, R); J: (n, R, 7).  Returns (tau (7,), cost, ok).
+    """
+    whitened_r = sqrt_info * r
+    robust = sqrt_info * jnp.sqrt(huber(whitened_r, k=huber_k))
+    A = (robust[..., None] * J).reshape(-1, 7)
+    b = (robust * r).reshape(-1, 1)
+    H = A.T @ A
+    g = -(A.T @ b)
+    cost = 0.5 * jnp.sum(b * b)
+
+    L = jnp.linalg.cholesky(H)
+    tau = jax.scipy.linalg.cho_solve((L, True), g)[:, 0]
+    ok = jnp.all(jnp.isfinite(tau))
+    return jnp.where(ok, tau, jnp.zeros_like(tau)), cost, ok
+
+
+def opt_pose_ray_dist_sim3(Xf, Xk, T_init, Qk, valid, cfg: TrackerConfig):
+    """Uncalibrated GN: ray + distance residuals
+    (tracker.py:173-214). Xf, Xk: (n, 3); Qk, valid: (n, 1).
+    Returns (T_CkCf, ok)."""
+    vq = valid * jnp.sqrt(Qk)
+    sqrt_info_ray = (1.0 / cfg.sigma_ray) * vq
+    sqrt_info_dist = (1.0 / cfg.sigma_dist) * vq
+    sqrt_info = jnp.concatenate(
+        [jnp.repeat(sqrt_info_ray, 3, axis=1), sqrt_info_dist], axis=1
+    )
+    rd_k = point_to_ray_dist(Xk)
+
+    def cond(state):
+        T, old_cost, i, done, ok = state
+        return (i < cfg.max_iters) & ~done
+
+    def body(state):
+        T, old_cost, i, done, ok = state
+        Xf_Ck, J_T = sim3.act_jac(T, Xf)                 # (n,3), (n,3,7)
+        rd, J_rd = point_to_ray_dist(Xf_Ck, jacobian=True)  # (n,4), (n,4,3)
+        r = rd_k - rd
+        J = -jnp.einsum("nij,njk->nik", J_rd, J_T)       # (n,4,7)
+        tau, new_cost, solve_ok = _gn_solve_7x7(
+            sqrt_info, r, J, cfg.huber_k
+        )
+        T_new = sim3.retr(T, tau)
+        conv = check_convergence(
+            cfg.rel_error, cfg.delta_norm, old_cost, new_cost, tau
+        )
+        T_out = jnp.where(solve_ok, T_new, T)
+        return (T_out, new_cost, i + 1, conv | ~solve_ok, ok & solve_ok)
+
+    init = (T_init, jnp.inf, jnp.zeros((), jnp.int32),
+            jnp.zeros((), bool), jnp.ones((), bool))
+    T, _, _, _, ok = jax.lax.while_loop(cond, body, init)
+    return T, ok
+
+
+def opt_pose_calib_sim3(Xf, Xk, T_init, Qk, valid, meas_k, valid_meas_k, K,
+                        img_size, cfg: TrackerConfig):
+    """Calibrated GN: pixel + log-depth residuals (tracker.py:216-266)."""
+    vq = valid * jnp.sqrt(Qk)
+    sqrt_info_pixel = (1.0 / cfg.sigma_pixel) * vq
+    sqrt_info_depth = (1.0 / cfg.sigma_depth) * vq
+    sqrt_info = jnp.concatenate(
+        [jnp.repeat(sqrt_info_pixel, 2, axis=1), sqrt_info_depth], axis=1
+    )
+
+    def cond(state):
+        T, old_cost, i, done, ok = state
+        return (i < cfg.max_iters) & ~done
+
+    def body(state):
+        T, old_cost, i, done, ok = state
+        Xf_Ck, J_T = sim3.act_jac(T, Xf)
+        pz, J_pz, valid_proj = project_calib(
+            Xf_Ck, K, img_size, jacobian=True,
+            border=cfg.pixel_border, z_eps=cfg.depth_eps,
+        )
+        si = (valid_proj & valid_meas_k) * sqrt_info
+        r = meas_k - pz
+        J = -jnp.einsum("nij,njk->nik", J_pz, J_T)
+        tau, new_cost, solve_ok = _gn_solve_7x7(si, r, J, cfg.huber_k)
+        T_new = sim3.retr(T, tau)
+        conv = check_convergence(
+            cfg.rel_error, cfg.delta_norm, old_cost, new_cost, tau
+        )
+        T_out = jnp.where(solve_ok, T_new, T)
+        return (T_out, new_cost, i + 1, conv | ~solve_ok, ok & solve_ok)
+
+    init = (T_init, jnp.inf, jnp.zeros((), jnp.int32),
+            jnp.zeros((), bool), jnp.ones((), bool))
+    T, _, _, _, ok = jax.lax.while_loop(cond, body, init)
+    return T, ok
+
+
+# ---------------------------------------------------------------------------
+# Full per-frame tracking step
+# ---------------------------------------------------------------------------
+
+class TrackResult(NamedTuple):
+    frame: Frame
+    keyframe: Frame
+    idx_f2k: jnp.ndarray        # (1, hw)
+    match_frac: jnp.ndarray     # ()
+    new_kf_metric: jnp.ndarray  # () min(match_frac_k, unique_frac_f)
+    ok: jnp.ndarray             # () solver healthy
+
+
+def track_step(engine_match_asym, frame: Frame, keyframe: Frame, idx_init,
+               K, cfg: TrackerConfig):
+    """The tracking computation (FrameTracker.track, tracker.py:28-127) as a
+    pure function.  engine_match_asym is the jitted asymmetric
+    inference+match entry point; everything below it is traced into the
+    same computation when wrapped by the caller."""
+    h, w = frame.img.shape[0], frame.img.shape[1]
+    hw = h * w
+
+    (idx_f2k_b, valid_match_k_b, Xff, Cff, Qff, Xkf, Ckf, Qkf) = (
+        engine_match_asym(
+            frame.feat[None], frame.pos[None],
+            keyframe.feat[None], keyframe.pos[None],
+            idx_init,
+        )
+    )
+    idx_f2k = idx_f2k_b[0]
+    valid_match_k = valid_match_k_b[0]
+    Xff, Cff, Qff = Xff[0], Cff[0], Qff[0]
+    Xkf, Ckf, Qkf = Xkf[0], Ckf[0], Qkf[0]
+
+    Qk = jnp.sqrt(Qff[idx_f2k] * Qkf)
+
+    # Update frame pointmap (tracker.py:44)
+    frame = update_pointmap(
+        frame, Xff, Cff, FilteringMode(cfg.filtering_mode),
+        cfg.use_median_score,
+    )
+
+    # Points/poses/confidences (tracker.py:129-154)
+    Xf = frame.X_canon
+    Xk = keyframe.X_canon
+    Cf = frame.get_average_conf()
+    Ck = keyframe.get_average_conf()
+
+    if cfg.use_calib:
+        img_size = (h, w)
+        Xf = constrain_points_to_ray(img_size, Xf[None], K)[0]
+        Xk = constrain_points_to_ray(img_size, Xk[None], K)[0]
+        uv_k = get_pixel_coords(1, img_size).reshape(-1, 2)
+        valid_meas_k = Xk[..., 2:3] > cfg.depth_eps
+        z_safe = jnp.where(valid_meas_k, Xk[..., 2:3], 1.0)
+        meas_k = jnp.concatenate([uv_k, jnp.log(z_safe)], axis=-1)
+        meas_k = jnp.where(valid_meas_k, meas_k, 0.0)
+    else:
+        meas_k, valid_meas_k = None, None
+
+    Xf_m = Xf[idx_f2k]
+    Cf_m = Cf[idx_f2k]
+
+    # Gating (tracker.py:59-66)
+    valid_Cf = Cf_m > cfg.C_conf
+    valid_Ck = Ck > cfg.C_conf
+    valid_Q = Qk > cfg.Q_conf
+    valid_opt = valid_match_k & valid_Cf & valid_Ck & valid_Q
+    valid_kf = valid_match_k & valid_Q
+
+    match_frac = jnp.mean(valid_opt.astype(jnp.float32))
+
+    # Relative pose solve (tracker.py:72-93)
+    T_WCf, T_WCk = frame.T_WC, keyframe.T_WC
+    T_init = sim3.rel(T_WCk, T_WCf)
+    if cfg.use_calib:
+        T_CkCf, ok = opt_pose_calib_sim3(
+            Xf_m, Xk, T_init, Qk, valid_opt.astype(Xf_m.dtype),
+            meas_k, valid_meas_k, K, (h, w), cfg,
+        )
+    else:
+        T_CkCf, ok = opt_pose_ray_dist_sim3(
+            Xf_m, Xk, T_init, Qk, valid_opt.astype(Xf_m.dtype), cfg
+        )
+
+    # New frame pose (tracker.py:95)
+    frame = frame.replace(T_WC=sim3.mul(T_WCk, T_CkCf))
+
+    # Keyframe pointmap update in its own frame (tracker.py:97-101)
+    Xkk = sim3.act(T_CkCf, Xkf)
+    keyframe = update_pointmap(
+        keyframe, Xkk, Ckf, FilteringMode(cfg.filtering_mode),
+        cfg.use_median_score,
+    )
+
+    # Keyframe selection metrics (tracker.py:103-110)
+    match_frac_k = jnp.mean(valid_kf.astype(jnp.float32))
+    seen = jnp.zeros((hw,), jnp.int32).at[
+        jnp.where(valid_match_k[:, 0], idx_f2k, hw)
+    ].max(1, mode="drop")
+    unique_frac_f = jnp.sum(seen).astype(jnp.float32) / hw
+    new_kf_metric = jnp.minimum(match_frac_k, unique_frac_f)
+
+    return TrackResult(
+        frame=frame,
+        keyframe=keyframe,
+        idx_f2k=idx_f2k_b,
+        match_frac=match_frac,
+        new_kf_metric=new_kf_metric,
+        ok=ok,
+    )
+
+
+class FrameTracker:
+    """Host-side driver mirroring the reference FrameTracker interface
+    (tracker.py:15-127): owns the match-index warm start and makes the
+    host-visible skip/new-keyframe decisions from the scalars the jitted
+    step returns."""
+
+    def __init__(self, engine: InferenceEngine, cfg: TrackerConfig,
+                 K=None):
+        self.engine = engine
+        self.cfg = cfg
+        self.K = K if K is not None else jnp.eye(3)
+        self.idx_f2k = None
+
+        # Bind the engine's impl so the whole step (decode+match+GN+fusion)
+        # traces into one XLA computation; params passed as an argument so
+        # they are not baked into the executable.
+        def step_fn(params, frame, keyframe, idx_init, K):
+            def matcher(f1, p1, f2, p2, idx):
+                return engine._match_asymmetric_impl(params, f1, p1, f2, p2,
+                                                     idx)
+            return track_step(matcher, frame, keyframe, idx_init, K, cfg)
+
+        self._track = jax.jit(step_fn)
+
+    def reset_idx_f2k(self):
+        self.idx_f2k = None
+
+    def track(self, frame: Frame, keyframe: Frame):
+        """Returns (new_kf: bool, frame, keyframe, try_reloc: bool)."""
+        hw = frame.hw
+        idx_init = self.idx_f2k
+        if idx_init is None:
+            idx_init = jnp.arange(hw, dtype=jnp.int32)[None]
+
+        res = self._track(
+            self.engine.params, frame, keyframe, idx_init, self.K
+        )
+
+        # Host decisions (one device->host sync per frame, like the
+        # reference's match_frac check at tracker.py:67-70)
+        match_frac = float(res.match_frac)
+        ok = bool(res.ok)
+        if match_frac < self.cfg.min_match_frac or not ok:
+            self.idx_f2k = res.idx_f2k  # keep warm start
+            return False, frame, keyframe, True
+
+        self.idx_f2k = res.idx_f2k
+        new_kf = float(res.new_kf_metric) < self.cfg.match_frac_thresh
+        if new_kf:
+            self.reset_idx_f2k()
+        return new_kf, res.frame, res.keyframe, False
