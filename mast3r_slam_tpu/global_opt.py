@@ -1,0 +1,269 @@
+"""Factor graph and global pointmap bundle adjustment driver.
+
+Capability parity with `/root/reference/mast3r_slam/global_opt.py`
+(FactorGraph: edge store, add_factors with symmetric decode+match+gating,
+two-way edge prep, GN solves, pose write-back) — TPU redesign:
+
+* edge state lives in padded fixed-shape DEVICE arrays; writes are masked
+  scatters with donated buffers (no reallocation), and solves slice the
+  arrays with power-of-two edge buckets so one compiled executable per
+  (edge-bucket, pose-bucket) size class serves the whole run — nothing in
+  the hot path runs eagerly (eager dispatch is a remote compile on TPU);
+* ``add_factors`` decodes ALL candidate edges in one 2E-batch forward
+  (the reference loops per edge, mast3r_utils.py:113-147);
+* the GN solve is `ops.ba.gauss_newton` — fully on device, replacing the
+  reference's GPU->CPU Eigen SimplicialLLT round trip
+  (gn_kernels.cu:57-159);
+* pose write-back scatters only the non-pinned unique keyframes
+  (global_opt.py:160-161, 223-224).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .frame import KeyframeArena, arena_update_poses
+from .inference import InferenceEngine
+from .ops import ba
+from .ops.geometry import constrain_points_to_ray
+
+
+def _next_bucket(n: int, minimum: int = 1) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5),
+                   static_argnames=())
+def _write_edges(idx_ii2jj, idx_jj2ii, vmj, vmi, Qj_arr, Qi_arr,
+                 slots, new_idx_i2j, new_idx_j2i, new_vmj, new_vmi,
+                 new_Qj, new_Qi):
+    """Masked batch append into the edge arrays.  slots[b] >= E_max drops
+    the row (rejected edge)."""
+    return (
+        idx_ii2jj.at[slots].set(new_idx_i2j, mode="drop"),
+        idx_jj2ii.at[slots].set(new_idx_j2i, mode="drop"),
+        vmj.at[slots].set(new_vmj, mode="drop"),
+        vmi.at[slots].set(new_vmi, mode="drop"),
+        Qj_arr.at[slots].set(new_Qj, mode="drop"),
+        Qi_arr.at[slots].set(new_Qi, mode="drop"),
+    )
+
+
+@jax.jit
+def _gate_edges(idx_i2j, idx_j2i, valid_match_j, valid_match_i,
+                Qii, Qjj, Qji, Qij, Q_conf):
+    """Per-edge confidence products and two-directional match fractions
+    (global_opt.py:55-68)."""
+    Qj = jnp.sqrt(
+        jnp.take_along_axis(Qii[..., 0], idx_i2j, axis=1) * Qji[..., 0]
+    )
+    Qi = jnp.sqrt(
+        jnp.take_along_axis(Qjj[..., 0], idx_j2i, axis=1) * Qij[..., 0]
+    )
+    valid_j = valid_match_j[..., 0] & (Qj > Q_conf)
+    valid_i = valid_match_i[..., 0] & (Qi > Q_conf)
+    return (Qj, Qi, valid_j.mean(axis=1), valid_i.mean(axis=1))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_poses(T_arena, Twc_new, upd_idx):
+    """Scatter optimized poses back into the arena; out-of-range indices
+    (pinned/padded rows) are dropped."""
+    return T_arena.at[upd_idx].set(Twc_new, mode="drop")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("E_bucket", "residual_type", "img_wh", "cfg",
+                     "use_calib"),
+)
+def _prep_and_solve(X_arena, C_arena, N_arena, T_arena,
+                    idx_ii2jj, idx_jj2ii, vmj, vmi, Qj_arr, Qi_arr,
+                    uidx, ii2, jj2, edge_valid, K,
+                    E_bucket: int, residual_type: str, img_wh,
+                    cfg: ba.BAConfig, use_calib: bool):
+    """Slice edge arrays to the bucket, build the two-way system, gather the
+    compact pose/point set, and run the GN solve — one fused executable."""
+    hw = idx_ii2jj.shape[1]
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, 0, E_bucket, axis=0)
+
+    idx2 = jnp.concatenate([sl(idx_ii2jj), sl(idx_jj2ii)], axis=0)
+    vm2 = jnp.concatenate([sl(vmj), sl(vmi)], axis=0)
+    Q2 = jnp.concatenate([sl(Qj_arr), sl(Qi_arr)], axis=0)
+
+    Xs = X_arena[uidx]
+    Cs = C_arena[uidx, :, 0] / jnp.maximum(N_arena[uidx], 1)[:, None]
+    Twc = T_arena[uidx]
+    if use_calib:
+        w, h = img_wh
+        Xs = constrain_points_to_ray((h, w), Xs, K)
+
+    return ba.gauss_newton(
+        Twc, Xs, Cs, ii2, jj2, idx2, vm2, Q2, edge_valid, K,
+        residual_type, img_wh, cfg,
+    )
+
+
+class FactorGraph:
+    """Host-driven factor graph over the keyframe arena (reference
+    FactorGraph, global_opt.py:14-226).  window_size follows the reference
+    default (unbounded)."""
+
+    def __init__(self, engine: InferenceEngine, hw: int, cfg: dict,
+                 K=None):
+        self.engine = engine
+        self.cfg = ba.BAConfig.from_config(cfg)
+        self.local_cfg = cfg["local_opt"]
+        self.max_edges = int(self.local_cfg.get("max_edges", 256))
+        self.min_match_frac = float(self.local_cfg["min_match_frac"])
+        self.hw = hw
+        self.K = K
+        self.use_calib = K is not None
+
+        E = self.max_edges
+        self.ii = np.zeros((E,), np.int32)
+        self.jj = np.zeros((E,), np.int32)
+        self.n_edges = 0
+        self.idx_ii2jj = jnp.zeros((E, hw), jnp.int32)
+        self.idx_jj2ii = jnp.zeros((E, hw), jnp.int32)
+        self.valid_match_j = jnp.zeros((E, hw), bool)
+        self.valid_match_i = jnp.zeros((E, hw), bool)
+        self.Q_ii2jj = jnp.zeros((E, hw), jnp.float32)
+        self.Q_jj2ii = jnp.zeros((E, hw), jnp.float32)
+
+    # -- edge construction --------------------------------------------------
+
+    def add_factors(self, arena: KeyframeArena, ii, jj, min_match_frac,
+                    is_reloc: bool = False) -> bool:
+        """Symmetric decode+match + two-directional gating
+        (global_opt.py:32-101).  Returns True if any edge was added."""
+        if len(ii) == 0:
+            return False
+        ii = list(map(int, ii))
+        jj = list(map(int, jj))
+        B = len(ii)
+        B_pad = _next_bucket(B, 1)
+        ii_pad = ii + [ii[0]] * (B_pad - B)
+        jj_pad = jj + [jj[0]] * (B_pad - B)
+        sel_i = jnp.asarray(ii_pad, jnp.int32)
+        sel_j = jnp.asarray(jj_pad, jnp.int32)
+
+        (idx_i2j, idx_j2i, valid_match_j, valid_match_i,
+         Qii, Qjj, Qji, Qij) = self.engine.match_symmetric(
+            arena.feat[sel_i], arena.pos[sel_i],
+            arena.feat[sel_j], arena.pos[sel_j],
+        )
+        Qj, Qi, match_frac_j, match_frac_i = _gate_edges(
+            idx_i2j, idx_j2i, valid_match_j, valid_match_i,
+            Qii, Qjj, Qji, Qij, self.cfg.Q_conf,
+        )
+
+        mfj = np.asarray(match_frac_j)[:B]
+        mfi = np.asarray(match_frac_i)[:B]
+        ii_np = np.asarray(ii)
+        jj_np = np.asarray(jj)
+        # both directions must clear the threshold (global_opt.py:73-76)
+        invalid = np.minimum(mfj, mfi) < min_match_frac
+        consecutive = ii_np == (jj_np - 1)
+        invalid = (~consecutive) & invalid
+        if invalid.any() and is_reloc:
+            return False
+
+        accept = ~invalid
+        n_new = int(accept.sum())
+        if n_new == 0:
+            return False
+        if self.n_edges + n_new > self.max_edges:
+            raise RuntimeError(
+                f"factor graph overflow: {self.n_edges}+{n_new} > "
+                f"{self.max_edges} (raise local_opt.max_edges)"
+            )
+
+        # slot per batch row: next free slot for accepted, E_max (drop) else
+        slots = np.full((B_pad,), self.max_edges, np.int64)
+        slots[:B][accept] = self.n_edges + np.arange(n_new)
+        (self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
+         self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii) = _write_edges(
+            self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
+            self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii,
+            jnp.asarray(slots), idx_i2j, idx_j2i,
+            valid_match_j[..., 0], valid_match_i[..., 0], Qj, Qi,
+        )
+        self.ii[self.n_edges:self.n_edges + n_new] = ii_np[accept]
+        self.jj[self.n_edges:self.n_edges + n_new] = jj_np[accept]
+        self.n_edges += n_new
+        return True
+
+    # -- solves -------------------------------------------------------------
+
+    def get_unique_kf_idx(self) -> np.ndarray:
+        n = self.n_edges
+        return np.unique(np.concatenate([self.ii[:n], self.jj[:n]]))
+
+    def _solve(self, arena: KeyframeArena, residual_type: str):
+        pin = self.cfg.pin
+        n = self.n_edges
+        if n == 0:
+            return arena, None
+        unique = self.get_unique_kf_idx()
+        P = len(unique)
+        if P <= pin:
+            return arena, None
+
+        E_bucket = _next_bucket(n, 4)
+        P_pad = _next_bucket(P, 2)
+
+        remap = {int(k): c for c, k in enumerate(unique)}
+        ii_c = np.array([remap[int(k)] for k in self.ii[:n]], np.int32)
+        jj_c = np.array([remap[int(k)] for k in self.jj[:n]], np.int32)
+        # two-way padded edge endpoints; padded rows masked by edge_valid
+        ii2 = np.zeros((2 * E_bucket,), np.int32)
+        jj2 = np.zeros((2 * E_bucket,), np.int32)
+        ev = np.zeros((2 * E_bucket,), bool)
+        ii2[:n], jj2[:n], ev[:n] = ii_c, jj_c, True
+        ii2[E_bucket:E_bucket + n] = jj_c
+        jj2[E_bucket:E_bucket + n] = ii_c
+        ev[E_bucket:E_bucket + n] = True
+
+        unique_pad = np.zeros((P_pad,), np.int32)
+        unique_pad[:P] = unique
+
+        h, w = arena.img_hw
+        K = jnp.asarray(self.K) if self.K is not None else jnp.eye(3)
+
+        Twc_new, iters, delta, ok = _prep_and_solve(
+            arena.X, arena.C, arena.N, arena.T_WC,
+            self.idx_ii2jj, self.idx_jj2ii,
+            self.valid_match_j, self.valid_match_i,
+            self.Q_ii2jj, self.Q_jj2ii,
+            jnp.asarray(unique_pad), jnp.asarray(ii2), jnp.asarray(jj2),
+            jnp.asarray(ev), K,
+            E_bucket, residual_type, (w, h), self.cfg,
+            residual_type == "calib",
+        )
+        # scatter back the non-pinned unique poses; pinned/padded rows get
+        # an out-of-range target and are dropped
+        buffer = arena.T_WC.shape[0]
+        upd = np.full((P_pad,), buffer, np.int64)
+        upd[pin:P] = unique[pin:]
+        arena = arena.replace(
+            T_WC=_write_poses(arena.T_WC, Twc_new, jnp.asarray(upd))
+        )
+        return arena, (int(iters), float(delta), bool(ok))
+
+    def solve_GN_rays(self, arena: KeyframeArena):
+        """global_opt.py:123-161."""
+        return self._solve(arena, "ray")
+
+    def solve_GN_calib(self, arena: KeyframeArena):
+        """global_opt.py:163-226."""
+        return self._solve(arena, "calib")

@@ -1,0 +1,137 @@
+"""FactorGraph tests: oracle-backed edge construction + GN solve recovers
+ground-truth poses; gating semantics; tiny-model smoke."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mast3r_slam_tpu.frame import arena_set, make_arena
+from mast3r_slam_tpu.global_opt import FactorGraph
+from mast3r_slam_tpu.ops import lie_sim3 as sim3
+from mast3r_slam_tpu.utils.config import load_config
+
+H, W = 16, 20
+HW = H * W
+P = 4
+
+
+class OracleEngine:
+    """Stub engine whose match_symmetric returns identity matches with
+    perfect confidence (all cameras index the same world points)."""
+
+    def __init__(self, hw):
+        self.hw = hw
+
+    def match_symmetric(self, feat_i, pos_i, feat_j, pos_j):
+        B = feat_i.shape[0]
+        idx = jnp.broadcast_to(
+            jnp.arange(self.hw, dtype=jnp.int32)[None], (B, self.hw)
+        )
+        valid = jnp.ones((B, self.hw, 1), bool)
+        Q = jnp.full((B, self.hw, 1), 4.0)
+        return idx, idx, valid, valid, Q, Q, Q, Q
+
+
+def oracle_setup(seed=0):
+    rng = np.random.default_rng(seed)
+    Wpts = rng.standard_normal((HW, 3)).astype(np.float32)
+    Wpts[:, 2] += 4.0
+    Wpts = jnp.asarray(Wpts)
+    xi = rng.standard_normal((P, 7)).astype(np.float32) * 0.08
+    xi[0] = 0
+    T_true = sim3.exp(jnp.asarray(xi))
+
+    arena = make_arena(8, H, W, 4, 8)
+    from mast3r_slam_tpu.frame import make_empty_frame
+
+    for p in range(P):
+        f = make_empty_frame(H, W, 4, 8)
+        f = f.replace(
+            frame_id=jnp.asarray(p, jnp.int32),
+            X_canon=sim3.act(sim3.inv(T_true[p]), Wpts),
+            C=jnp.full((HW, 1), 10.0),
+            N=jnp.ones((), jnp.int32),
+        )
+        arena = arena_set(arena, p, f)
+    return arena, T_true
+
+
+def test_factor_graph_recovers_poses():
+    cfg = load_config("config/base.yaml")
+    cfg["local_opt"]["max_edges"] = 16
+    cfg["local_opt"]["chunk_points"] = 128
+    cfg["local_opt"]["max_iters"] = 20
+    arena, T_true = oracle_setup()
+
+    graph = FactorGraph(OracleEngine(HW), HW, cfg)
+    added = graph.add_factors(
+        arena, [0, 1, 2, 0], [1, 2, 3, 3], cfg["local_opt"]["min_match_frac"]
+    )
+    assert added and graph.n_edges == 4
+
+    # perturb all non-pinned poses in the arena
+    rng = np.random.default_rng(9)
+    xi = rng.standard_normal((P, 7)).astype(np.float32) * 0.05
+    xi[0] = 0
+    T0 = sim3.mul(sim3.exp(jnp.asarray(xi)), T_true)
+    arena = arena.replace(T_WC=arena.T_WC.at[:P].set(T0))
+
+    arena, stats = graph.solve_GN_rays(arena)
+    iters, delta, ok = stats
+    assert ok
+    err = float(jnp.abs(arena.T_WC[:P] - T_true).max())
+    assert err < 1e-3, err
+    # pinned pose untouched
+    np.testing.assert_allclose(arena.T_WC[0], T0[0], atol=1e-7)
+    # untouched arena slots unchanged
+    np.testing.assert_allclose(
+        arena.T_WC[P:],
+        np.broadcast_to(np.asarray(sim3.identity()), (arena.buffer - P, 8)),
+        atol=1e-7,
+    )
+
+
+def test_factor_graph_calib_runs():
+    cfg = load_config("config/base.yaml")
+    cfg["local_opt"]["max_edges"] = 16
+    cfg["local_opt"]["chunk_points"] = 128
+    arena, T_true = oracle_setup()
+    K = np.array(
+        [[1.5 * W, 0, W / 2], [0, 1.5 * W, H / 2], [0, 0, 1]],
+        dtype=np.float32,
+    )
+    graph = FactorGraph(OracleEngine(HW), HW, cfg, K=K)
+    graph.add_factors(arena, [0, 1, 2], [1, 2, 3], 0.1)
+    arena2, stats = graph.solve_GN_calib(arena)
+    assert stats is not None and stats[2]
+    assert bool(jnp.all(jnp.isfinite(arena2.T_WC)))
+
+
+def test_gating_rejects_nonconsecutive_weak_edges():
+    cfg = load_config("config/base.yaml")
+    cfg["local_opt"]["max_edges"] = 16
+    arena, T_true = oracle_setup()
+
+    class WeakEngine(OracleEngine):
+        def match_symmetric(self, feat_i, pos_i, feat_j, pos_j):
+            idx, _, valid, _, Q, *_ = super().match_symmetric(
+                feat_i, pos_i, feat_j, pos_j
+            )
+            weak = jnp.full_like(Q, 0.1)  # below Q_conf
+            return idx, idx, valid, valid, weak, weak, weak, weak
+
+    graph = FactorGraph(WeakEngine(HW), HW, cfg)
+    # non-consecutive weak edge -> rejected
+    assert not graph.add_factors(arena, [0], [2], 0.1)
+    # consecutive edge -> always kept (global_opt.py:75-76)
+    assert graph.add_factors(arena, [0], [1], 0.1)
+    assert graph.n_edges == 1
+    # reloc strict mode -> any invalid edge rejects the whole batch
+    assert not graph.add_factors(arena, [0], [3], 0.1, is_reloc=True)
+
+
+def test_no_solve_without_edges():
+    cfg = load_config("config/base.yaml")
+    arena, _ = oracle_setup()
+    graph = FactorGraph(OracleEngine(HW), HW, cfg)
+    arena2, stats = graph.solve_GN_rays(arena)
+    assert stats is None
