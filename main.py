@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""TPU-native dense SLAM pipeline driver.
+
+Capability parity with the reference `/root/reference/main.py` CLI
+(--dataset --config --save-as --no-viz --calib), single program instead of
+three processes.  Extra flags: --checkpoint (torch MASt3R weights to
+convert), --cpu (force CPU backend), --tiny-model (random-weight smoke
+model), --gt (score ATE against a TUM-format ground truth at exit),
+--profile (enable section timers).
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset",
+                   default="datasets/tum/rgbd_dataset_freiburg1_desk")
+    p.add_argument("--config", default="config/base.yaml")
+    p.add_argument("--save-as", default="default")
+    p.add_argument("--no-viz", action="store_true",
+                   help="headless (viz is export-based in this framework; "
+                        "flag kept for CLI parity)")
+    p.add_argument("--calib", default="",
+                   help="intrinsics yaml override (reference "
+                        "config/intrinsics.yaml schema)")
+    p.add_argument("--checkpoint",
+                   default="checkpoints/"
+                           "MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric"
+                           ".pth")
+    p.add_argument("--tiny-model", action="store_true",
+                   help="random tiny model (plumbing smoke runs only)")
+    p.add_argument("--oracle", action="store_true",
+                   help="oracle engine from the clip's oracle.npz "
+                        "(synthetic clips; full-system verification without "
+                        "checkpoint weights)")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--gt", default="", help="TUM-format GT for ATE scoring")
+    p.add_argument("--profile", action="store_true")
+    p.add_argument("--max-frames", type=int, default=0)
+    return p.parse_args()
+
+
+def load_model_and_params(args, jax):
+    from mast3r_slam_tpu.models.mast3r import MASt3R, MASt3RConfig
+
+    if args.tiny_model:
+        cfg = MASt3RConfig.tiny()
+        model = MASt3R(cfg)
+        import jax.numpy as jnp
+
+        img = jnp.zeros((1, 64, 64, 3))
+        params = model.init(jax.random.PRNGKey(0), img, img)
+        return model, params
+
+    ckpt = pathlib.Path(args.checkpoint)
+    if not ckpt.exists():
+        sys.exit(
+            f"checkpoint not found: {ckpt}\n"
+            "Download MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric.pth "
+            "into checkpoints/ (see reference README), or pass --tiny-model "
+            "for a smoke run."
+        )
+    from mast3r_slam_tpu.models.convert import (
+        convert_state_dict,
+        load_torch_checkpoint,
+    )
+
+    cfg = MASt3RConfig.vit_large()
+    sd, _ = load_torch_checkpoint(str(ckpt))
+    params = convert_state_dict(sd, cfg.enc_depth, cfg.dec_depth)
+    model = MASt3R(cfg)
+    return model, params
+
+
+def main():
+    args = parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: TPU remote compiles are expensive
+    cache_dir = pathlib.Path(".jax_cache")
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+
+    import yaml
+
+    from mast3r_slam_tpu import evaluate
+    from mast3r_slam_tpu.dataloader import Intrinsics, load_dataset
+    from mast3r_slam_tpu.inference import InferenceEngine
+    from mast3r_slam_tpu.ops.matching import MatchingConfig
+    from mast3r_slam_tpu.pipeline import SLAMSystem
+    from mast3r_slam_tpu.utils.config import config, load_config
+    from mast3r_slam_tpu.utils.profiler import profiler
+
+    load_config(args.config)
+    print(f"dataset: {args.dataset}")
+    print(f"devices: {jax.devices()}")
+
+    if args.profile:
+        profiler.enable()
+
+    dataset = load_dataset(args.dataset)
+    dataset.subsample(config["dataset"]["subsample"])
+    (h, w), _ = dataset.get_img_shape()
+
+    if args.calib:
+        with open(args.calib) as f:
+            intr = yaml.safe_load(f)
+        config["use_calib"] = True
+        dataset.use_calibration = True
+        dataset.camera_intrinsics = Intrinsics.from_calib(
+            dataset.img_size, intr["width"], intr["height"],
+            intr["calibration"],
+        )
+
+    use_calib = config["use_calib"]
+    if use_calib and not dataset.has_calib():
+        sys.exit("[error] use_calib=True but no calibration available")
+    K = dataset.camera_intrinsics.K_frame if use_calib else None
+
+    if args.oracle:
+        from mast3r_slam_tpu.testing import OracleEngine, SyntheticSequence
+
+        seq = SyntheticSequence.load(
+            pathlib.Path(args.dataset) / "oracle.npz"
+        )
+        sub = int(config["dataset"]["subsample"])
+        seq.X_cam = seq.X_cam[::sub]
+        seq.X_world = seq.X_world[::sub]
+        seq.T_WC = seq.T_WC[::sub]
+        h, w = seq.h, seq.w
+        config["dataset"]["img_size"] = max(h, w)
+        engine = OracleEngine(seq)
+        K = seq.K if use_calib else None
+    else:
+        model, params = load_model_and_params(args, jax)
+        engine = InferenceEngine(
+            model, params, (h, w),
+            downsample=int(config["dataset"].get("img_downsample", 1)),
+            match_cfg=MatchingConfig.from_dict(config["matching"]),
+        )
+    system = SLAMSystem(config, engine, (h, w), K=K)
+
+    n = len(dataset)
+    if args.max_frames:
+        n = min(n, args.max_frames)
+    fps_timer = time.time()
+    for i in range(n):
+        timestamp, img = dataset[i]
+        info = system.process_frame(i, img)
+        if i % 30 == 0 and i > 0:
+            print(f"FPS: {i / (time.time() - fps_timer):.2f}  "
+                  f"mode={info['mode']} kf={system.stats['keyframes']}")
+    system.terminate()
+    wall = time.time() - fps_timer
+    print(f"done: {n} frames in {wall:.1f}s ({n / wall:.2f} FPS)")
+    print(f"stats: {system.stats}")
+
+    if getattr(dataset, "save_results", True):
+        save_dir, seq_name = evaluate.prepare_savedir(args.save_as, dataset)
+        evaluate.save_traj(save_dir, f"{seq_name}.txt", dataset.timestamps,
+                           system.arena)
+        evaluate.save_reconstruction(save_dir, f"{seq_name}.ply",
+                                     system.arena, 1.5)
+        evaluate.save_keyframes(save_dir / "keyframes" / seq_name,
+                                dataset.timestamps, system.arena)
+        print(f"results: {save_dir}/{seq_name}.txt, .ply")
+
+        if args.gt:
+            ate = evaluate.ate_rmse(args.gt, save_dir / f"{seq_name}.txt",
+                                    max_diff=0.1)
+            print(f"ATE RMSE (Sim3-aligned): {ate:.4f} m")
+
+    if args.profile:
+        profiler.print_summary()
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,11 @@ class InferenceEngine:
         self.img_hw = img_hw
         self.downsample = downsample
         self.match_cfg = match_cfg or matching.MatchingConfig()
+        p = model.cfg.patch_size
+        ds = downsample
+        self.n_patches = (img_hw[0] // p) * (img_hw[1] // p)
+        self.feat_dim = model.cfg.enc_embed_dim
+        self.out_hw = (img_hw[0] // ds, img_hw[1] // ds)
 
         self._encode = jax.jit(
             lambda p, img: model.apply(p, img, method=MASt3R.encode)
@@ -195,7 +200,8 @@ IMGNORM_MEAN = np.array([0.5, 0.5, 0.5], dtype=np.float32)
 IMGNORM_STD = np.array([0.5, 0.5, 0.5], dtype=np.float32)
 
 
-def resize_img(img: np.ndarray, size: int = 512, square_ok: bool = False):
+def resize_img(img: np.ndarray, size: int = 512, square_ok: bool = False,
+               return_transformation: bool = False):
     """Resize long side to ``size`` and center-crop H, W to multiples of 16
     (reference resize_img, mast3r_utils.py:245-289; 224 square mode
     included).  img: (H, W, 3) float in [0, 1].
@@ -232,8 +238,15 @@ def resize_img(img: np.ndarray, size: int = 512, square_ok: bool = False):
 
     arr = np.asarray(pil).astype(np.float32) / 255.0
     normed = (arr - IMGNORM_MEAN) / IMGNORM_STD
-    return {
+    res = {
         "img": normed[None],
         "true_shape": np.int32([pil.size[::-1]]),
         "unnormalized_img": arr,
     }
+    if return_transformation:
+        scale_w = W1 / W
+        scale_h = H1 / H
+        half_crop_w = (W - pil.size[0]) / 2
+        half_crop_h = (H - pil.size[1]) / 2
+        return res, (scale_w, scale_h, half_crop_w, half_crop_h)
+    return res

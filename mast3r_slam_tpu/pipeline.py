@@ -1,0 +1,354 @@
+"""Single-program SLAM pipeline: frontend tracking + backend global
+optimization + relocalization.
+
+Capability parity with the reference driver (`/root/reference/main.py`):
+Mode state machine {INIT, TRACKING, RELOC, TERMINATED} (main.py:276-366),
+mono initialization (main.py:321-328), keyframe queueing to the backend
+(main.py:353-361), backend graph construction from consecutive keyframes +
+retrieval hits and GN solves (run_backend, main.py:87-165), relocalization
+(main.py:41-84), and the single-thread deterministic mode used for
+benchmark evaluation.
+
+TPU redesign: the reference's three torch.multiprocessing processes sharing
+CUDA memory become ONE program.  The keyframe arena is a functional device
+pytree; the backend either runs inline after each keyframe (single_thread:
+exact reference eval semantics) or on a host thread that overlaps its
+device work with the frontend's through JAX's async dispatch — no IPC, no
+locks around device memory, just an atomic arena-pointer swap.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .frame import (
+    Frame,
+    FilteringMode,
+    KeyframeArena,
+    Mode,
+    arena_append,
+    arena_get,
+    arena_pop_last,
+    arena_set,
+    make_arena,
+    update_pointmap,
+)
+from .global_opt import FactorGraph
+from .inference import InferenceEngine, resize_img
+from .models.mast3r import MASt3R
+from .ops import lie_sim3 as sim3
+from .tracker import FrameTracker, TrackerConfig
+from .utils.profiler import profiler
+
+
+class NullRetrieval:
+    """Placeholder retrieval database: no loop-closure proposals.  The ASMK
+    database (retrieval/) plugs in with the same interface."""
+
+    def update(self, frame, arena, add_after_query, k, min_thresh):
+        return []
+
+
+class SLAMSystem:
+    """The full SLAM engine around one model + one keyframe arena."""
+
+    def __init__(self, cfg: dict, engine, img_hw,
+                 K: Optional[np.ndarray] = None, retrieval=None,
+                 buffer: Optional[int] = None):
+        """``engine`` is an InferenceEngine (real model) or any object with
+        the same interface (e.g. the oracle harness in testing.py)."""
+        self.cfg = cfg
+        self.img_hw = img_hw
+        h, w = img_hw
+        self.n_patches = engine.n_patches
+        self.feat_dim = engine.feat_dim
+        self.use_calib = K is not None
+        self.K = jnp.asarray(K, jnp.float32) if K is not None else jnp.eye(3)
+        self.img_size = int(cfg["dataset"].get("img_size", 512))
+        self.engine = engine
+        self.tracker = FrameTracker(
+            self.engine, TrackerConfig.from_config(cfg), self.K
+        )
+        buffer = buffer or int(cfg.get("map", {}).get("buffer", 512))
+        self.arena: KeyframeArena = make_arena(
+            buffer, h, w, self.n_patches, self.feat_dim
+        )
+        if K is not None:
+            # independent copy: the arena pytree is donated on append, so it
+            # must not alias self.K
+            self.arena = self.arena.replace(K=jnp.array(self.K))
+        self.graph = FactorGraph(
+            self.engine, h * w, cfg, K=K if self.use_calib else None
+        )
+        self.retrieval = retrieval or NullRetrieval()
+
+        self.mode = Mode.INIT
+        self.single_thread = bool(cfg.get("single_thread", False))
+        self.filtering_mode = FilteringMode.from_str(
+            cfg["tracking"]["filtering_mode"]
+        )
+        self._median_score = (
+            cfg["tracking"].get("filtering_score", "median") == "median"
+        )
+        self._mono_update = jax.jit(
+            lambda frame, X, C: update_pointmap(
+                frame, X[0], C[0], self.filtering_mode, self._median_score
+            )
+        )
+        self._append = jax.jit(arena_append, donate_argnums=(0,))
+        self._set_last = jax.jit(
+            lambda arena, fr: arena_set(arena, arena.n_size - 1, fr),
+            donate_argnums=(0,),
+        )
+
+        # backend plumbing
+        self.tasks: "queue.Queue[int]" = queue.Queue()
+        self._backend_thread: Optional[threading.Thread] = None
+        self._terminate = False
+        self._lock = threading.Lock()
+        self.last_T_WC = sim3.identity()
+        self.reloc_attempts = 0
+        self.stats = {"tracked": 0, "skipped": 0, "keyframes": 0,
+                      "reloc": 0, "ba_rounds": 0}
+        if not self.single_thread:
+            self._backend_thread = threading.Thread(
+                target=self._backend_loop, daemon=True
+            )
+            self._backend_thread.start()
+
+    # ------------------------------------------------------------------
+    # Frame ingestion
+    # ------------------------------------------------------------------
+
+    def create_frame(self, i: int, img: np.ndarray) -> Frame:
+        """Host decode -> device frame with encoder features (reference
+        create_frame, frame.py:111-122 + feature caching)."""
+        with profiler.timer("create_frame"):
+            if img.shape[:2] == self.img_hw:
+                # already at network resolution (synthetic harness)
+                from .inference import IMGNORM_MEAN, IMGNORM_STD
+
+                uimg_np = np.clip(img, 0.0, 1.0).astype(np.float32)
+                normed = (uimg_np - IMGNORM_MEAN) / IMGNORM_STD
+                device_img = jnp.asarray(normed)
+                uimg = jnp.asarray(uimg_np)
+            else:
+                out = resize_img(img, self.img_size)
+                device_img = jnp.asarray(out["img"][0], jnp.float32)
+                uimg = jnp.asarray(out["unnormalized_img"], jnp.float32)
+        with profiler.timer("vit_encode"):
+            feat, pos = self.engine.encode(device_img[None])
+        h, w = self.img_hw
+        hw = h * w
+        return Frame(
+            frame_id=jnp.asarray(i, jnp.int32),
+            img=device_img,
+            uimg=uimg,
+            T_WC=self.last_T_WC,
+            X_canon=jnp.zeros((hw, 3), jnp.float32),
+            C=jnp.zeros((hw, 1), jnp.float32),
+            feat=feat[0],
+            pos=pos[0].astype(jnp.int32),
+            N=jnp.zeros((), jnp.int32),
+            N_updates=jnp.zeros((), jnp.int32),
+            score=jnp.zeros((), jnp.float32),
+        )
+
+    def process_frame(self, i: int, img: np.ndarray) -> dict:
+        """One frontend iteration (main.py:305-362). Returns step info."""
+        frame = self.create_frame(i, img)
+        info = {"mode": self.mode.name, "new_kf": False}
+
+        if self.mode == Mode.INIT:
+            with profiler.timer("decoder"):
+                X, C = self.engine.inference_mono(
+                    frame.feat[None], frame.pos[None]
+                )
+            frame = self._mono_update(frame, X, C)
+            with self._lock:
+                self.arena = self._append(self.arena, frame)
+            self.stats["keyframes"] += 1
+            self._queue_backend(int(self.arena.n_size) - 1)
+            self.mode = Mode.TRACKING
+            self.last_T_WC = frame.T_WC
+            return info
+
+        if self.mode == Mode.TRACKING:
+            with self._lock:
+                kf = arena_get(self.arena, self.arena.n_size - 1)
+            with profiler.timer("track"):
+                new_kf, frame, kf, try_reloc = self.tracker.track(frame, kf)
+            if try_reloc:
+                self.mode = Mode.RELOC
+                self.stats["skipped"] += 1
+                info["mode"] = "TRACKING->RELOC"
+                return info
+            with self._lock:
+                self.arena = self._set_last(self.arena, kf)
+            self.stats["tracked"] += 1
+            self.last_T_WC = frame.T_WC
+            if new_kf:
+                with self._lock:
+                    self.arena = self._append(self.arena, frame)
+                self.stats["keyframes"] += 1
+                info["new_kf"] = True
+                self._queue_backend(int(self.arena.n_size) - 1)
+            return info
+
+        if self.mode == Mode.RELOC:
+            with profiler.timer("decoder"):
+                X, C = self.engine.inference_mono(
+                    frame.feat[None], frame.pos[None]
+                )
+            frame = self._mono_update(frame, X, C)
+            self.stats["reloc"] += 1
+            if self.single_thread:
+                success = self._relocalization(frame)
+                if success:
+                    self.mode = Mode.TRACKING
+            else:
+                with self._lock:
+                    self._reloc_frame = frame
+                self.tasks.put(-1)  # reloc sentinel
+                # frontend keeps feeding frames; backend flips mode
+            return info
+
+        raise RuntimeError(f"invalid mode {self.mode}")
+
+    # ------------------------------------------------------------------
+    # Backend (run_backend, main.py:87-165)
+    # ------------------------------------------------------------------
+
+    def _queue_backend(self, idx: int):
+        self.tasks.put(idx)
+        if self.single_thread:
+            while not self.tasks.empty():
+                self._backend_once()
+
+    def _backend_loop(self):  # threaded mode
+        while not self._terminate:
+            try:
+                self._backend_once(timeout=0.01)
+            except queue.Empty:
+                continue
+
+    def _backend_once(self, timeout=None):
+        try:
+            idx = self.tasks.get(timeout=timeout) if timeout else \
+                self.tasks.get_nowait()
+        except queue.Empty:
+            if timeout is None:
+                return
+            raise
+        if idx == -1:  # reloc request (threaded mode)
+            with self._lock:
+                frame = self._reloc_frame
+            if self._relocalization(frame):
+                self.mode = Mode.TRACKING
+            return
+
+        # graph construction: previous consecutive + retrieval
+        kf_idx = []
+        n_consec = 1
+        for j in range(min(n_consec, idx)):
+            kf_idx.append(idx - 1 - j)
+        with self._lock:
+            frame = arena_get(self.arena, idx)
+        retrieval_inds = self.retrieval.update(
+            frame, self.arena, add_after_query=True,
+            k=self.cfg["retrieval"]["k"],
+            min_thresh=self.cfg["retrieval"]["min_thresh"],
+        )
+        kf_idx += retrieval_inds
+        kf_idx = list(set(kf_idx) - {idx})
+        if kf_idx:
+            frame_idx = [idx] * len(kf_idx)
+            with profiler.timer("add_factors"):
+                self.graph.add_factors(
+                    self.arena, kf_idx, frame_idx,
+                    float(self.cfg["local_opt"]["min_match_frac"]),
+                )
+        self._solve_graph()
+
+    def _solve_graph(self):
+        timer = "ba_calib" if self.use_calib else "ba_rays"
+        with profiler.timer(timer):
+            with self._lock:
+                arena = self.arena
+            if self.use_calib:
+                arena, stats = self.graph.solve_GN_calib(arena)
+            else:
+                arena, stats = self.graph.solve_GN_rays(arena)
+            with self._lock:
+                # poses were updated; merge into current arena (only poses
+                # changed in the solve)
+                self.arena = self.arena.replace(T_WC=arena.T_WC)
+        if stats is not None:
+            self.stats["ba_rounds"] += 1
+
+    def _relocalization(self, frame: Frame) -> bool:
+        """main.py:41-84."""
+        kf_idx = list(
+            self.retrieval.update(
+                frame, self.arena, add_after_query=False,
+                k=self.cfg["retrieval"]["k"],
+                min_thresh=self.cfg["retrieval"]["min_thresh"],
+            )
+        )
+        if not kf_idx:
+            return False
+        with self._lock:
+            self.arena = self._append(self.arena, frame)
+        n_kf = int(self.arena.n_size)
+        frame_idx = [n_kf - 1] * len(kf_idx)
+        success = self.graph.add_factors(
+            self.arena, frame_idx, kf_idx,
+            float(self.cfg["reloc"]["min_match_frac"]),
+            is_reloc=bool(self.cfg["reloc"]["strict"]),
+        )
+        if success:
+            self.retrieval.update(
+                frame, self.arena, add_after_query=True,
+                k=self.cfg["retrieval"]["k"],
+                min_thresh=self.cfg["retrieval"]["min_thresh"],
+            )
+            with self._lock:
+                self.arena = self.arena.replace(
+                    T_WC=self.arena.T_WC.at[n_kf - 1].set(
+                        self.arena.T_WC[kf_idx[0]]
+                    )
+                )
+                self.last_T_WC = self.arena.T_WC[n_kf - 1]
+            self.stats["keyframes"] += 1
+            self.tracker.reset_idx_f2k()
+            self._solve_graph()
+            return True
+        with self._lock:
+            self.arena = arena_pop_last(self.arena)
+        return False
+
+    # ------------------------------------------------------------------
+
+    def drain(self):
+        """Block until all backend tasks are done (single-thread barrier
+        semantics of main.py:344-361 are implicit; this is for threaded
+        mode and shutdown)."""
+        while not self.tasks.empty():
+            if self.single_thread:
+                self._backend_once()
+            else:
+                time.sleep(0.005)
+
+    def terminate(self):
+        self.drain()
+        self._terminate = True
+        if self._backend_thread is not None:
+            self._backend_thread.join(timeout=5)
+        self.mode = Mode.TERMINATED

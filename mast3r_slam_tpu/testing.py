@@ -1,0 +1,260 @@
+"""Synthetic-scene test harness: sequence generator + oracle inference
+engine.
+
+The reference has no checkpoint-free integration tests (SURVEY §4); this
+module provides the missing piece: a renderer for a smooth textured 3D
+surface observed along a ground-truth Sim(3) trajectory, and an
+``OracleEngine`` that implements the ``InferenceEngine`` interface but
+produces two-view decode outputs from the known geometry (optionally with
+noise).  The full pipeline — tracker, keyframing, factor graph, BA,
+relocalization, export, ATE scoring — runs end-to-end against it with an
+exactly known ground truth.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import lie_sim3 as sim3
+from .ops.geometry import get_pixel_coords
+
+
+def surface_z(x, y):
+    """Smooth world surface height field."""
+    return 4.0 + 0.6 * np.sin(1.3 * x) * np.cos(1.1 * y)
+
+
+def texture(x, y):
+    """Smooth RGB texture on the surface."""
+    r = 0.5 + 0.5 * np.sin(2.0 * x)
+    g = 0.5 + 0.5 * np.cos(1.7 * y)
+    b = 0.5 + 0.5 * np.sin(1.1 * (x + y))
+    return np.stack([r, g, b], axis=-1)
+
+
+def make_K(h, w):
+    return np.array(
+        [[0.8 * w, 0, w / 2], [0, 0.8 * w, h / 2], [0, 0, 1]],
+        dtype=np.float32,
+    )
+
+
+def render_view(T_WC, h, w, K):
+    """Ray-march the surface from a camera pose.  Returns (rgb (h,w,3) in
+    [0,1], X_cam (h*w, 3) pointmap in camera coords, X_world (h*w, 3))."""
+    Kinv = np.linalg.inv(K)
+    uv = np.asarray(get_pixel_coords(1, (h, w))).reshape(-1, 2)
+    dirs = (Kinv @ np.concatenate(
+        [uv, np.ones((h * w, 1), np.float32)], axis=1
+    ).T).T
+    T = np.asarray(T_WC)
+    t, s = T[:3], T[7]
+    Rm = np.asarray(sim3.sim3_matrix(jnp.asarray(T)))[:3, :3] / s
+    d_w = (Rm @ dirs.T).T
+    lam = np.full(h * w, 3.0, np.float64)
+    for _ in range(60):
+        Xw = t[None] + lam[:, None] * d_w
+        lam = lam + (surface_z(Xw[:, 0], Xw[:, 1]) - Xw[:, 2]) / d_w[:, 2]
+    Xw = (t[None] + lam[:, None] * d_w).astype(np.float32)
+    Xc = np.asarray(
+        sim3.act(sim3.inv(jnp.asarray(T)), jnp.asarray(Xw))
+    )
+    rgb = texture(Xw[:, 0], Xw[:, 1]).reshape(h, w, 3).astype(np.float32)
+    return rgb, Xc, Xw
+
+
+def make_trajectory(n_frames: int, scale: float = 0.02, seed: int = 0,
+                    loop: bool = False):
+    """Smooth bounded Sim(3) trajectory (first pose ~ identity): a
+    multi-frequency sinusoidal path whose amplitude scales with
+    ``scale * n_frames`` but whose per-frame motion stays bounded — the
+    camera always keeps the surface in view, so clips of any length stay
+    trackable.  ``loop`` closes the path (returns to the start) for
+    loop-closure tests."""
+    rng = np.random.default_rng(seed)
+    amp = scale * n_frames / (2 * np.pi)
+    # per-dof amplitudes: translation, rotation, log-scale
+    a = amp * np.array([1.0, 0.8, 0.6, 0.25, 0.25, 0.25, 0.08])
+    phase = rng.uniform(0, 2 * np.pi, 7)
+    freq = np.where(np.arange(7) % 2 == 0, 1.0, 2.0)
+    if loop:
+        freq = np.round(freq)  # integer cycles -> closed path
+    ts = np.arange(n_frames) / max(n_frames - 1, 1)
+    theta = 2 * np.pi * ts[:, None] * freq[None, :] + phase[None, :]
+    xs = a[None, :] * (np.sin(theta) - np.sin(phase)[None, :])
+    return sim3.exp(jnp.asarray(xs.astype(np.float32)))
+
+
+class SyntheticSequence:
+    """Rendered clip with ground truth, presented like a dataset."""
+
+    def __init__(self, n_frames=20, h=48, w=64, seed=0, traj_scale=0.02,
+                 loop=False):
+        self.h, self.w = h, w
+        self.K = make_K(h, w)
+        self.T_WC = make_trajectory(n_frames, traj_scale, seed, loop)
+        self.images = []
+        self.X_cam = []
+        self.X_world = []
+        for i in range(n_frames):
+            rgb, Xc, Xw = render_view(self.T_WC[i], h, w, self.K)
+            self.images.append(rgb)
+            self.X_cam.append(Xc)
+            self.X_world.append(Xw)
+        self.timestamps = [float(i) / 30.0 for i in range(n_frames)]
+
+    def __len__(self):
+        return len(self.images)
+
+    def save(self, path):
+        """Serialize GT geometry so OracleEngine can be driven from a clip
+        directory (scripts/make_synthetic_clip.py writes this)."""
+        np.savez_compressed(
+            path,
+            T_WC=np.asarray(self.T_WC),
+            X_cam=np.stack(self.X_cam),
+            X_world=np.stack(self.X_world),
+            K=self.K, h=self.h, w=self.w,
+            timestamps=np.asarray(self.timestamps),
+        )
+
+    @classmethod
+    def load(cls, path):
+        d = np.load(path)
+        obj = cls.__new__(cls)
+        obj.h, obj.w = int(d["h"]), int(d["w"])
+        obj.K = d["K"]
+        obj.T_WC = jnp.asarray(d["T_WC"])
+        obj.X_cam = list(d["X_cam"])
+        obj.X_world = list(d["X_world"])
+        obj.images = []
+        obj.timestamps = list(d["timestamps"])
+        return obj
+
+    def write_gt(self, path):
+        """TUM-format ground-truth trajectory."""
+        T = np.asarray(self.T_WC)
+        q = T[:, 3:7]
+        q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+        with open(path, "w") as f:
+            for i in range(len(self.images)):
+                x, y, z = T[i, :3]
+                qx, qy, qz, qw = q[i]
+                f.write(f"{self.timestamps[i]} {x} {y} {z} "
+                        f"{qx} {qy} {qz} {qw}\n")
+
+
+class OracleEngine:
+    """Drop-in InferenceEngine replacement producing decode outputs from the
+    synthetic ground truth.
+
+    Frame identity is carried through the ``feat`` vector: feat[0, 0] holds
+    the frame index (the rest of the feature rows are unused).  noise_std
+    perturbs the pointmaps to emulate network error.
+    """
+
+    def __init__(self, seq: SyntheticSequence, noise_std: float = 0.0,
+                 match_noise_px: int = 0, seed: int = 0):
+        self.seq = seq
+        self.h, self.w = seq.h, seq.w
+        self.hw = self.h * self.w
+        self.K = jnp.asarray(seq.K)
+        self.noise_std = noise_std
+        self.match_noise_px = match_noise_px
+        self.rng = np.random.default_rng(seed)
+        self._encode_counter = 0
+        self.downsample = 1
+        self.img_hw = (self.h, self.w)
+        self.n_patches = 4
+        self.feat_dim = 8
+
+    # -- InferenceEngine interface ----------------------------------------
+
+    def encode(self, img):
+        i = self._encode_counter
+        self._encode_counter += 1
+        feat = np.zeros((1, 4, 8), np.float32)
+        feat[0, 0, 0] = i
+        return jnp.asarray(feat), jnp.zeros((1, 4, 2), jnp.int32)
+
+    def _pointmap(self, i):
+        X = self.seq.X_cam[i]
+        if self.noise_std > 0:
+            X = X + self.rng.normal(
+                0, self.noise_std, X.shape
+            ).astype(np.float32)
+        return X
+
+    def _rel_pointmap(self, i, j):
+        """Pointmap of camera j's pixels expressed in camera i's frame
+        (the decoder's res21 semantics)."""
+        T_CiCj = sim3.rel(self.seq.T_WC[i], self.seq.T_WC[j])
+        return np.asarray(sim3.act(T_CiCj, jnp.asarray(self._pointmap(j))))
+
+    def _match(self, i, j):
+        """idx mapping camera-j pixels -> camera-i pixel indices via true
+        projection (with optional pixel noise), plus validity."""
+        Xc_i = np.asarray(
+            sim3.act(sim3.inv(self.seq.T_WC[i]),
+                     jnp.asarray(self.seq.X_world[j]))
+        )
+        uvz = (self.seq.K @ Xc_i.T).T
+        u = np.round(uvz[:, 0] / uvz[:, 2]).astype(np.int64)
+        v = np.round(uvz[:, 1] / uvz[:, 2]).astype(np.int64)
+        if self.match_noise_px:
+            u += self.rng.integers(-self.match_noise_px,
+                                   self.match_noise_px + 1, u.shape)
+            v += self.rng.integers(-self.match_noise_px,
+                                   self.match_noise_px + 1, v.shape)
+        inside = (u >= 0) & (u < self.w) & (v >= 0) & (v < self.h) \
+            & (Xc_i[:, 2] > 0)
+        idx = np.where(inside, v * self.w + u, 0).astype(np.int32)
+        return idx, inside
+
+    @staticmethod
+    def _fid(feat):
+        return int(np.asarray(feat[0, 0, 0]))
+
+    def match_asymmetric(self, frame_feat, frame_pos, kf_feat, kf_pos,
+                         idx_i2j_init=None):
+        fi = self._fid(frame_feat)
+        ki = self._fid(kf_feat)
+        Xff = self._pointmap(fi)
+        Xkf = self._rel_pointmap(fi, ki)  # kf points in frame coords
+        idx, inside = self._match(fi, ki)
+        ones = np.ones((1, self.hw, 1), np.float32)
+        return (
+            jnp.asarray(idx[None]),
+            jnp.asarray(inside[None, :, None]),
+            jnp.asarray(Xff[None]), jnp.asarray(10.0 * ones),
+            jnp.asarray(4.0 * ones),
+            jnp.asarray(Xkf[None]), jnp.asarray(10.0 * ones),
+            jnp.asarray(4.0 * ones),
+        )
+
+    def inference_mono(self, feat, pos):
+        fi = self._fid(feat)
+        X = self._pointmap(fi)
+        return (jnp.asarray(X[None]),
+                jnp.full((1, self.hw, 1), 10.0, jnp.float32))
+
+    def match_symmetric(self, feat_i, pos_i, feat_j, pos_j):
+        B = feat_i.shape[0]
+        idx_i2j = np.zeros((B, self.hw), np.int32)
+        idx_j2i = np.zeros((B, self.hw), np.int32)
+        vm_j = np.zeros((B, self.hw), bool)
+        vm_i = np.zeros((B, self.hw), bool)
+        for b in range(B):
+            fi = self._fid(feat_i[b:b + 1])
+            fj = self._fid(feat_j[b:b + 1])
+            idx_i2j[b], vm_j[b] = self._match(fi, fj)
+            idx_j2i[b], vm_i[b] = self._match(fj, fi)
+        Q = jnp.full((B, self.hw, 1), 4.0, jnp.float32)
+        return (
+            jnp.asarray(idx_i2j), jnp.asarray(idx_j2i),
+            jnp.asarray(vm_j[..., None]), jnp.asarray(vm_i[..., None]),
+            Q, Q, Q, Q,
+        )

@@ -302,16 +302,30 @@ class FrameTracker:
         self.K = K if K is not None else jnp.eye(3)
         self.idx_f2k = None
 
-        # Bind the engine's impl so the whole step (decode+match+GN+fusion)
-        # traces into one XLA computation; params passed as an argument so
-        # they are not baked into the executable.
-        def step_fn(params, frame, keyframe, idx_init, K):
-            def matcher(f1, p1, f2, p2, idx):
-                return engine._match_asymmetric_impl(params, f1, p1, f2, p2,
-                                                     idx)
-            return track_step(matcher, frame, keyframe, idx_init, K, cfg)
+        if hasattr(engine, "_match_asymmetric_impl"):
+            # Bind the engine's impl so the whole step
+            # (decode+match+GN+fusion) traces into one XLA computation;
+            # params passed as an argument so they are not baked into the
+            # executable.
+            def step_fn(params, frame, keyframe, idx_init, K):
+                def matcher(f1, p1, f2, p2, idx):
+                    return engine._match_asymmetric_impl(
+                        params, f1, p1, f2, p2, idx
+                    )
+                return track_step(matcher, frame, keyframe, idx_init, K, cfg)
 
-        self._track = jax.jit(step_fn)
+            jitted = jax.jit(step_fn)
+            self._track = lambda frame, kf, idx, K: jitted(
+                engine.params, frame, kf, idx, K
+            )
+        else:
+            # host-side engine (oracle harness): eager step
+            def matcher(f1, p1, f2, p2, idx):
+                return engine.match_asymmetric(f1, p1, f2, p2, idx)
+
+            self._track = lambda frame, kf, idx, K: track_step(
+                matcher, frame, kf, idx, K, cfg
+            )
 
     def reset_idx_f2k(self):
         self.idx_f2k = None
@@ -323,9 +337,7 @@ class FrameTracker:
         if idx_init is None:
             idx_init = jnp.arange(hw, dtype=jnp.int32)[None]
 
-        res = self._track(
-            self.engine.params, frame, keyframe, idx_init, self.K
-        )
+        res = self._track(frame, keyframe, idx_init, self.K)
 
         # Host decisions (one device->host sync per frame, like the
         # reference's match_frac check at tracker.py:67-70)

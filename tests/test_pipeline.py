@@ -1,0 +1,112 @@
+"""End-to-end pipeline tests on the synthetic oracle harness: the full SLAM
+system (tracking, keyframing, backend BA, export) runs on a rendered clip
+with known ground truth and is ATE-scored with the built-in evaluator."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mast3r_slam_tpu import evaluate
+from mast3r_slam_tpu.pipeline import SLAMSystem
+from mast3r_slam_tpu.testing import OracleEngine, SyntheticSequence
+from mast3r_slam_tpu.utils.config import load_config
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return SyntheticSequence(n_frames=16, h=48, w=64, seed=0,
+                             traj_scale=0.5)
+
+
+def run_system(seq, cfg, noise=0.0, use_calib=False):
+    engine = OracleEngine(seq, noise_std=noise)
+    K = seq.K if use_calib else None
+    system = SLAMSystem(cfg, engine, (seq.h, seq.w), K=K, buffer=32)
+    for i in range(len(seq)):
+        system.process_frame(i, seq.images[i])
+    system.terminate()
+    return system
+
+
+def test_pipeline_tracks_and_keyframes(tmp_path, seq):
+    cfg = load_config("config/eval_no_calib.yaml")
+    cfg["dataset"]["img_size"] = 64
+    system = run_system(seq, cfg)
+
+    assert system.stats["keyframes"] >= 2
+    assert system.stats["tracked"] + system.stats["keyframes"] >= len(seq) - 2
+    assert system.stats["skipped"] == 0
+    assert system.stats["ba_rounds"] >= 1
+
+    # export + score
+    traj = tmp_path / "est.txt"
+    gt = tmp_path / "gt.txt"
+    evaluate.save_traj(tmp_path, "est.txt", seq.timestamps, system.arena)
+    seq.write_gt(gt)
+    ate = evaluate.ate_rmse(gt, traj, max_diff=0.05)
+    # oracle geometry: trajectory should be recovered to sub-centimeter
+    # (scene scale ~4m)
+    assert ate < 0.05, ate
+
+    # reconstruction export
+    evaluate.save_reconstruction(tmp_path, "map.ply", system.arena, 0.5)
+    pts, cols = evaluate.load_ply(tmp_path / "map.ply")
+    assert len(pts) > 1000
+    assert np.isfinite(pts).all()
+
+
+def test_pipeline_calib_mode(tmp_path, seq):
+    cfg = load_config("config/eval_calib.yaml")
+    cfg["dataset"]["img_size"] = 64
+    system = run_system(seq, cfg, use_calib=True)
+    assert system.stats["keyframes"] >= 2
+    traj = tmp_path / "est.txt"
+    gt = tmp_path / "gt.txt"
+    evaluate.save_traj(tmp_path, "est.txt", seq.timestamps, system.arena)
+    seq.write_gt(gt)
+    ate = evaluate.ate_rmse(gt, traj, max_diff=0.05)
+    assert ate < 0.1, ate
+
+
+def test_pipeline_with_noise(seq):
+    """Small pointmap noise must not break tracking."""
+    cfg = load_config("config/eval_no_calib.yaml")
+    cfg["dataset"]["img_size"] = 64
+    system = run_system(seq, cfg, noise=0.005)
+    assert system.stats["skipped"] == 0
+    assert system.stats["keyframes"] >= 2
+
+
+def test_pipeline_threaded_mode(seq):
+    cfg = load_config("config/base.yaml")
+    cfg["dataset"]["img_size"] = 64
+    assert cfg["single_thread"] is False
+    system = run_system(seq, cfg)
+    system.terminate()
+    assert system.stats["tracked"] > 0
+
+
+def test_ate_evaluator_selfcheck(tmp_path):
+    """ATE of a trajectory against a Sim3-transformed copy of itself must
+    be ~0 (alignment removes the transform)."""
+    rng = np.random.default_rng(0)
+    n = 30
+    t = np.arange(n) * 0.1
+    pos = np.cumsum(rng.standard_normal((n, 3)) * 0.1, axis=0)
+    q = np.tile([0, 0, 0, 1.0], (n, 1))
+
+    def write(path, p):
+        with open(path, "w") as f:
+            for i in range(n):
+                f.write(f"{t[i]} {p[i,0]} {p[i,1]} {p[i,2]} "
+                        f"{q[i,0]} {q[i,1]} {q[i,2]} {q[i,3]}\n")
+
+    # random similarity transform
+    from mast3r_slam_tpu.ops import lie_sim3 as sim3
+
+    T = sim3.exp(jnp.asarray(rng.standard_normal(7) * 0.5, jnp.float32))
+    pos2 = np.asarray(sim3.act(T, jnp.asarray(pos, jnp.float32)))
+    write(tmp_path / "a.txt", pos)
+    write(tmp_path / "b.txt", pos2)
+    ate = evaluate.ate_rmse(tmp_path / "a.txt", tmp_path / "b.txt")
+    assert ate < 1e-4, ate
