@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Benchmark: tracked frames/s per chip on the flagship pipeline.
+
+Measures the full frontend frame step at production resolution (512x384,
+ViT-L two-view model, random weights — FLOP-identical to real weights):
+encoder + two-view decoder/head + dense iterative-projective matching +
+Gauss-Newton Sim(3) pose solve (full 50 iterations, no early exit), all on
+device.
+
+Timing methodology: the harness TPU is reached through a relay where
+``block_until_ready`` does not synchronize and each dispatch costs ~20 ms
+of tunnel latency; so each stage is timed as N data-dependent repetitions
+chained inside ONE jitted ``fori_loop`` with a scalar readback, and the
+per-step time is (t_N - t_1) / (N - 1) — tunnel-free, overlap-free.
+
+Prints ONE JSON line:
+  {"metric": "tracked_fps_per_chip", "value": N, "unit": "frames/s",
+   "vs_baseline": N / 15.0}
+
+Baseline 15 FPS = RTX-4090 real-time operating point of the reference
+system (the reference's own in-tree anchor: encoder 34.7 img/s on a 4090
+with the encoder 30-50%% of frame time, final_tensorrt_test.py:261-297
+=> ~10-17 FPS whole-pipeline).
+
+Env knobs: BENCH_SMALL=1 (tiny model smoke), BENCH_CHAIN (default 8).
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    cache_dir = pathlib.Path(".jax_cache")
+    cache_dir.mkdir(exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    from mast3r_slam_tpu import tracker as trk
+    from mast3r_slam_tpu.frame import make_empty_frame
+    from mast3r_slam_tpu.inference import InferenceEngine
+    from mast3r_slam_tpu.models.mast3r import MASt3R, MASt3RConfig
+    from mast3r_slam_tpu.ops.matching import MatchingConfig
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    N = int(os.environ.get("BENCH_CHAIN", "8"))
+
+    if small:
+        cfg = MASt3RConfig.tiny()
+        h, w = 96, 128
+    else:
+        cfg = MASt3RConfig.vit_large()
+        h, w = 384, 512
+
+    log(f"bench: devices={jax.devices()} model="
+        f"{'tiny' if small else 'vit-large'} res={h}x{w} chain={N}")
+
+    model = MASt3R(cfg)
+    t0 = time.time()
+    init_img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), init_img, init_img)
+    log(f"params initialized in {time.time() - t0:.1f}s")
+
+    # accept-everything gates so the GN loop runs its full 50 iterations
+    # (random weights would otherwise gate out all points and let the
+    # while_loop exit early -> dishonestly fast timing)
+    engine = InferenceEngine(
+        model, params, (h, w), match_cfg=MatchingConfig(dist_thresh=1e9)
+    )
+    tcfg = trk.TrackerConfig(C_conf=-1e9, Q_conf=-1e9, rel_error=0.0,
+                             delta_norm=0.0)
+    K = jnp.eye(3)
+
+    def timed_chain(make_step, init_carry, label, readback):
+        """(t_N - t_1)/(N-1) with data-dependent chaining + scalar
+        readback inside one jit."""
+        def chained(n):
+            @jax.jit
+            def f(params, carry):
+                def body(i, carry):
+                    return make_step(params, carry)
+                carry = jax.lax.fori_loop(0, n, body, carry)
+                return readback(carry)
+            return f
+
+        f1, fN = chained(1), chained(N)
+        t0 = time.time()
+        float(f1(params, init_carry))
+        log(f"  {label}: compiled+first in {time.time() - t0:.1f}s")
+        float(fN(params, init_carry))  # fN warmup
+        t0 = time.time()
+        float(f1(params, init_carry))
+        t1 = time.time() - t0
+        t0 = time.time()
+        float(fN(params, init_carry))
+        tN = time.time() - t0
+        ms = (tN - t1) / (N - 1) * 1e3
+        log(f"  {label}: {ms:.1f} ms/step  (t1={t1*1e3:.0f}ms "
+            f"tN={tN*1e3:.0f}ms; dispatch overhead excluded)")
+        return ms
+
+    key = jax.random.PRNGKey(1)
+    img = jax.random.normal(key, (1, h, w, 3), jnp.float32)
+
+    # --- encoder ---------------------------------------------------------
+    def enc_step(params, img):
+        feat, pos = model.apply(params, img, method=MASt3R.encode)
+        return img + 1e-12 * jnp.mean(feat)
+
+    enc_ms = timed_chain(enc_step, img, "encoder",
+                     lambda c: c[0, 0, 0, 0])
+
+    # --- track step (decode + match + GN) --------------------------------
+    feat_k, pos_k = engine.encode(img)
+    Xk, Ck = engine.inference_mono(feat_k, pos_k)
+    n_patches = engine.n_patches
+    kf = make_empty_frame(h, w, n_patches, cfg.enc_embed_dim)
+    kf = kf.replace(
+        feat=feat_k[0], pos=pos_k[0].astype(jnp.int32),
+        X_canon=Xk[0], C=Ck[0],
+        N=jnp.ones((), jnp.int32), N_updates=jnp.ones((), jnp.int32),
+    )
+    frame0 = make_empty_frame(h, w, n_patches, cfg.enc_embed_dim)
+    frame0 = frame0.replace(feat=feat_k[0] + 0.01,
+                            pos=pos_k[0].astype(jnp.int32))
+    idx0 = jnp.arange(h * w, dtype=jnp.int32)[None]
+
+    def track_once(params, frame, keyframe):
+        def matcher(f1, p1, f2, p2, idx):
+            return engine._match_asymmetric_impl(params, f1, p1, f2, p2, idx)
+
+        return trk.track_step(matcher, frame, keyframe, idx0, K, tcfg)
+
+    def track_chain_step(params, carry):
+        frame, keyframe = carry
+        res = track_once(params, frame, keyframe)
+        # chain dependency: next frame's features nudged by the result
+        frame = frame.replace(
+            feat=frame.feat + 1e-12 * res.frame.T_WC[0],
+            N=jnp.zeros((), jnp.int32), N_updates=jnp.zeros((), jnp.int32),
+        )
+        return (frame, keyframe)
+
+    track_ms = timed_chain(track_chain_step, (frame0, kf), "track",
+                       lambda c: c[0].feat[0, 0])
+
+    frame_ms = enc_ms + track_ms
+    fps = 1e3 / frame_ms
+    log(f"frame: {enc_ms:.1f} (encode) + {track_ms:.1f} (track) = "
+        f"{frame_ms:.1f} ms -> {fps:.2f} FPS")
+
+    print(json.dumps({
+        "metric": "tracked_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 15.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,14 @@ def parse_args():
     p.add_argument("--calib", default="",
                    help="intrinsics yaml override (reference "
                         "config/intrinsics.yaml schema)")
+    p.add_argument("--retrieval-checkpoint",
+                   default="checkpoints/"
+                           "MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric"
+                           "_retrieval_trainingfree.pth")
+    p.add_argument("--codebook",
+                   default="checkpoints/"
+                           "MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric"
+                           "_codebook.pkl")
     p.add_argument("--checkpoint",
                    default="checkpoints/"
                            "MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric"
@@ -147,7 +155,19 @@ def main():
             downsample=int(config["dataset"].get("img_downsample", 1)),
             match_cfg=MatchingConfig.from_dict(config["matching"]),
         )
-    system = SLAMSystem(config, engine, (h, w), K=K)
+    retrieval = None
+    if not args.oracle:
+        rc = pathlib.Path(args.retrieval_checkpoint)
+        cb = pathlib.Path(args.codebook)
+        if rc.exists() and cb.exists():
+            from mast3r_slam_tpu.retrieval.database import RetrievalDatabase
+
+            retrieval = RetrievalDatabase.from_checkpoint(str(rc), str(cb))
+            print("retrieval database loaded (ASMK loop closure on)")
+        else:
+            print("[warn] retrieval checkpoint/codebook not found - "
+                  "loop closure and relocalization proposals disabled")
+    system = SLAMSystem(config, engine, (h, w), K=K, retrieval=retrieval)
 
     n = len(dataset)
     if args.max_frames:

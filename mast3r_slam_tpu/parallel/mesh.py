@@ -1,0 +1,34 @@
+"""Device mesh helpers for multi-chip/multi-host deployment.
+
+The reference has no distributed story (SURVEY §2.4: its concurrency is
+three processes sharing CUDA memory on one GPU).  Here scale-out is
+first-class: a named mesh with an ``edge`` axis (factor-graph edges /
+keyframe map shards — the SLAM analog of data parallelism) and a ``model``
+axis (tensor parallelism inside the two-view transformer).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_edge: int | None = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_edge is None:
+        n_edge = n // n_model
+    assert n_edge * n_model <= n, (n_edge, n_model, n)
+    arr = np.asarray(devices[: n_edge * n_model]).reshape(n_edge, n_model)
+    return Mesh(arr, ("edge", "model"))
+
+
+def edge_sharding(mesh: Mesh) -> NamedSharding:
+    """First axis sharded across the edge axis."""
+    return NamedSharding(mesh, P("edge"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

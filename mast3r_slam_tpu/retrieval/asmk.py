@@ -1,0 +1,239 @@
+"""ASMK (Aggregated Selective Match Kernel) retrieval core.
+
+Capability parity with the reference ASMK library
+(`/root/reference/thirdparty/mast3r/asmk/asmk/`): codebook quantization,
+per-visual-word residual aggregation with binarization, packed-Hamming
+similarity with the monomial kernel, and a growable inverted file — the
+loop-closure engine behind `retrieval_database.py`.
+
+TPU split: codebook assignment (the FLOP-heavy part: queries x 64k-centroid
+L2 top-k) runs on device as a matmul (mirroring the reference's
+torch-accelerated `quantize_custom`, retrieval_database.py:96-105);
+binarize/popcount run in numpy (np.bitwise_count replaces the reference's
+Cython `hamming.pyx`; a C++ kernel in native/ is the production fallback);
+the pointer-chasing IVF stays host-side exactly like the reference's.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from .native import hamming_native
+except Exception:  # pragma: no cover
+    hamming_native = None
+
+
+# ---------------------------------------------------------------------------
+# Binarization + Hamming (asmk/cython/hamming.pyx parity)
+# ---------------------------------------------------------------------------
+
+def binarize_and_pack_2d(X: np.ndarray) -> np.ndarray:
+    """Sign-binarize rows and pack bits into uint64 words
+    (hamming.pyx binarize_and_pack_2D)."""
+    bits = (X > 0).astype(np.uint8)
+    pad = (-bits.shape[1]) % 64
+    if pad:
+        bits = np.concatenate(
+            [bits, np.zeros((bits.shape[0], pad), np.uint8)], axis=1
+        )
+    packed = np.packbits(bits, axis=1, bitorder="little")
+    return packed.view(np.uint64)
+
+
+def hamming_cdist_packed(A: np.ndarray, B: np.ndarray,
+                         dim: Optional[int] = None) -> np.ndarray:
+    """Normalized pairwise Hamming distance between packed uint64 rows
+    (hamming.pyx hamming_cdist_packed): value in [0, 1]."""
+    if hamming_native is not None:
+        return hamming_native.cdist(A, B, dim or A.shape[1] * 64)
+    x = np.bitwise_xor(A[:, None, :], B[None, :, :])
+    counts = np.bitwise_count(x).sum(axis=-1)
+    d = dim or A.shape[1] * 64
+    return counts.astype(np.float32) / d
+
+
+# ---------------------------------------------------------------------------
+# Codebook
+# ---------------------------------------------------------------------------
+
+class Codebook:
+    """Visual-word codebook with device-side top-k assignment
+    (asmk/codebook.py + the torch matmul trick of
+    retrieval_database.py:96-105)."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = np.asarray(centroids, np.float32)
+        self.size, self.dim = self.centroids.shape
+        self._centroids_dev = jnp.asarray(self.centroids)
+        self._c_sq = jnp.sum(self._centroids_dev ** 2, axis=1)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def _assign(q, k):
+            d = (
+                jnp.sum(q ** 2, axis=1)[:, None]
+                + self._c_sq[None, :]
+                - 2.0 * q @ self._centroids_dev.T
+            )
+            _, idx = jax.lax.top_k(-d, k)
+            return idx
+
+        self._assign = _assign
+
+    def quantize(self, qvecs: np.ndarray, multiple_assignment: int = 1
+                 ) -> np.ndarray:
+        """(n, dim) -> (n, multiple_assignment) int32 word ids."""
+        q = jnp.asarray(qvecs, jnp.float32)
+        return np.asarray(self._assign(q, multiple_assignment))
+
+    @classmethod
+    def train(cls, X: np.ndarray, size: int, n_iter: int = 10, seed: int = 0
+              ) -> "Codebook":
+        """Simple k-means (the reference uses faiss; same semantics)."""
+        rng = np.random.default_rng(seed)
+        X = np.asarray(X, np.float32)
+        idx = rng.choice(len(X), size=min(size, len(X)), replace=False)
+        C = X[idx].copy()
+        if len(C) < size:
+            C = np.concatenate(
+                [C, rng.standard_normal((size - len(C), X.shape[1]))
+                 .astype(np.float32)]
+            )
+        for _ in range(n_iter):
+            d = ((X ** 2).sum(1)[:, None] + (C ** 2).sum(1)[None, :]
+                 - 2 * X @ C.T)
+            a = d.argmin(1)
+            for j in range(size):
+                m = a == j
+                if m.any():
+                    C[j] = X[m].mean(0)
+        return cls(C)
+
+    @classmethod
+    def load(cls, path: str) -> "Codebook":
+        """Load a codebook pickle (the published `*_codebook.pkl` format or
+        a plain dict/array)."""
+        import pickle
+
+        with open(path, "rb") as f:
+            obj = pickle.load(f)
+        if isinstance(obj, np.ndarray):
+            return cls(obj)
+        if isinstance(obj, dict):
+            for key in ("centroids", "codebook", "C"):
+                if key in obj:
+                    inner = obj[key]
+                    if isinstance(inner, dict) and "centroids" in inner:
+                        inner = inner["centroids"]
+                    return cls(np.asarray(inner))
+        cent = getattr(obj, "centroids", None)
+        if cent is not None:
+            return cls(np.asarray(cent))
+        raise ValueError(f"unrecognized codebook format in {path}")
+
+
+# ---------------------------------------------------------------------------
+# Kernel: aggregation + similarity (asmk/kernel.py parity)
+# ---------------------------------------------------------------------------
+
+class ASMKKernel:
+    def __init__(self, codebook: Codebook, binary: bool = True):
+        self.codebook = codebook
+        self.binary = binary
+
+    def aggregate_image(self, des: np.ndarray, word_ids: np.ndarray):
+        """Sum residuals per unique visual word, then binarize
+        (kernel.py:26-39)."""
+        unique_ids = np.unique(word_ids)
+        ades = np.empty((unique_ids.shape[0], des.shape[1]), np.float32)
+        for i, word in enumerate(unique_ids):
+            sel = (word_ids == word).any(axis=1)
+            ades[i] = (des[sel] - self.codebook.centroids[word]).sum(0)
+        if self.binary:
+            return binarize_and_pack_2d(ades), unique_ids
+        n = np.linalg.norm(ades, axis=1, keepdims=True)
+        return ades / np.maximum(n, 1e-12), unique_ids
+
+    def similarity(self, qvec, vecs, image_ids, alpha: float = 3.0,
+                   similarity_threshold: float = 0.0):
+        """Monomial kernel over (binary) similarities (kernel.py:53-68 +
+        functional.asmk_kernel)."""
+        if self.binary:
+            nd = hamming_cdist_packed(
+                qvec.reshape(1, -1), vecs, dim=self.codebook.dim
+            )
+            sim = -2.0 * nd[0] + 1.0
+        else:
+            sim = vecs @ qvec
+        mask = sim >= similarity_threshold
+        sim = np.sign(sim[mask]) * np.abs(sim[mask]) ** alpha
+        return image_ids[mask], sim
+
+
+# ---------------------------------------------------------------------------
+# Inverted file (asmk/inverted_file.py parity, use_idf=False operating point)
+# ---------------------------------------------------------------------------
+
+class IVF:
+    def __init__(self, codebook_size: int):
+        self.codebook_size = codebook_size
+        self.ivf_vecs = [None] * codebook_size
+        self.ivf_image_ids = [None] * codebook_size
+        self.counts = np.zeros(codebook_size, np.int32)
+        self.norm_factor = np.zeros(0)
+        self.n_images = 0
+
+    @staticmethod
+    def _append(arr, size, item):
+        if arr is None:
+            arr = np.zeros((10,) + item.shape, item.dtype)
+        elif size >= arr.shape[0]:
+            arr = np.resize(arr, (int(np.ceil(arr.shape[0] * 1.5)),)
+                            + arr.shape[1:])
+        arr[size] = item
+        return arr
+
+    def add(self, des, word_ids, image_ids):
+        """inverted_file.py:57-77 (use_idf False)."""
+        max_imid = int(image_ids.max())
+        if max_imid + 1 > len(self.norm_factor):
+            self.norm_factor = np.concatenate(
+                [self.norm_factor,
+                 np.zeros(max_imid + 1 - len(self.norm_factor))]
+            )
+        self.n_images = max(self.n_images, max_imid + 1)
+        for i, word in enumerate(word_ids):
+            w = int(word)
+            self.ivf_vecs[w] = self._append(
+                self.ivf_vecs[w], self.counts[w], des[i]
+            )
+            self.ivf_image_ids[w] = self._append(
+                self.ivf_image_ids[w], self.counts[w],
+                np.asarray(image_ids[i]),
+            )
+            self.counts[w] += 1
+            self.norm_factor[image_ids[i]] += 1
+
+    def search(self, des, word_ids, similarity_func, topk=None):
+        """inverted_file.py:88-108."""
+        scores = np.zeros(self.n_images)
+        q_norm_factor = 0.0
+        for qvec, word in zip(des, word_ids):
+            w = int(word)
+            q_norm_factor += 1.0
+            if self.ivf_image_ids[w] is None:
+                continue
+            image_ids, sim = similarity_func(
+                qvec, self.ivf_vecs[w][: self.counts[w]],
+                self.ivf_image_ids[w][: self.counts[w]],
+            )
+            sim = sim / np.sqrt(self.norm_factor[image_ids])
+            np.add.at(scores, image_ids, sim)
+        scores = scores / np.sqrt(max(q_norm_factor, 1.0))
+        ranks = np.argsort(-scores)[:topk]
+        return ranks, scores[ranks]

@@ -156,8 +156,12 @@ class OracleEngine:
     perturbs the pointmaps to emulate network error.
     """
 
+    N_PATCHES = 16
+    FEAT_DIM = 32
+
     def __init__(self, seq: SyntheticSequence, noise_std: float = 0.0,
-                 match_noise_px: int = 0, seed: int = 0):
+                 match_noise_px: int = 0, seed: int = 0,
+                 blackout_frames=()):
         self.seq = seq
         self.h, self.w = seq.h, seq.w
         self.hw = self.h * self.w
@@ -168,17 +172,32 @@ class OracleEngine:
         self._encode_counter = 0
         self.downsample = 1
         self.img_hw = (self.h, self.w)
-        self.n_patches = 4
-        self.feat_dim = 8
+        self.n_patches = self.N_PATCHES
+        self.feat_dim = self.FEAT_DIM
+        # frames whose matches are wiped (tracking-failure injection for
+        # relocalization tests)
+        self.blackout_frames = set(blackout_frames)
 
     # -- InferenceEngine interface ----------------------------------------
+
+    def view_signature(self, i):
+        """Content-based coarse view descriptor: subsampled world points —
+        similar viewpoints get similar retrieval features."""
+        Xw = self.seq.X_world[i]
+        n = self.N_PATCHES * self.FEAT_DIM
+        stride = max(1, (len(Xw) * 3) // n)
+        flat = Xw.reshape(-1)[::stride][:n]
+        sig = np.zeros(n, np.float32)
+        sig[: len(flat)] = flat
+        return sig.reshape(self.N_PATCHES, self.FEAT_DIM)
 
     def encode(self, img):
         i = self._encode_counter
         self._encode_counter += 1
-        feat = np.zeros((1, 4, 8), np.float32)
-        feat[0, 0, 0] = i
-        return jnp.asarray(feat), jnp.zeros((1, 4, 2), jnp.int32)
+        feat = self.view_signature(i).copy()
+        feat[0, 0] = i  # frame identity channel (read by the oracle matcher)
+        return (jnp.asarray(feat[None]),
+                jnp.zeros((1, self.N_PATCHES, 2), jnp.int32))
 
     def _pointmap(self, i):
         X = self.seq.X_cam[i]
@@ -225,6 +244,8 @@ class OracleEngine:
         Xff = self._pointmap(fi)
         Xkf = self._rel_pointmap(fi, ki)  # kf points in frame coords
         idx, inside = self._match(fi, ki)
+        if fi in self.blackout_frames:
+            inside = np.zeros_like(inside)
         ones = np.ones((1, self.hw, 1), np.float32)
         return (
             jnp.asarray(idx[None]),
@@ -258,3 +279,23 @@ class OracleEngine:
             jnp.asarray(vm_j[..., None]), jnp.asarray(vm_i[..., None]),
             Q, Q, Q, Q,
         )
+
+
+def make_oracle_retrieval(seq: SyntheticSequence, engine: OracleEngine,
+                          codebook_size: int = 64, nfeat: int = 16):
+    """RetrievalDatabase over the oracle's content-based view signatures:
+    a random-init retrieval head + a codebook trained on the sequence's own
+    features (checkpoint-free loop-closure testing)."""
+    import jax
+
+    from .retrieval.asmk import Codebook
+    from .retrieval.database import RetrievalDatabase
+    from .retrieval.model import RetrievalParams
+
+    d = engine.FEAT_DIM
+    params = RetrievalParams.random(jax.random.PRNGKey(0), d_in=d, hdims=(d,))
+    feats = np.concatenate(
+        [engine.view_signature(i) for i in range(len(seq.X_world))]
+    )
+    codebook = Codebook.train(feats, codebook_size, n_iter=5)
+    return RetrievalDatabase(params, codebook, nfeat=nfeat)

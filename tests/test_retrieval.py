@@ -1,0 +1,145 @@
+"""Retrieval subsystem tests: hamming/binarize kernels vs naive reference,
+codebook assignment, IVF search, end-to-end loop-closure proposals on the
+synthetic sequence, and pipeline relocalization recovery."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mast3r_slam_tpu.retrieval import asmk
+from mast3r_slam_tpu.retrieval.database import RetrievalDatabase
+from mast3r_slam_tpu.retrieval.model import RetrievalParams, prep_features
+
+
+def test_binarize_and_pack():
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((5, 130)).astype(np.float32)
+    packed = asmk.binarize_and_pack_2d(X)
+    assert packed.dtype == np.uint64
+    assert packed.shape == (5, 3)  # ceil(130/64)
+    # unpack and compare
+    bits = np.unpackbits(
+        packed.view(np.uint8), axis=1, bitorder="little"
+    )[:, :130]
+    np.testing.assert_array_equal(bits, (X > 0).astype(np.uint8))
+
+
+def test_hamming_cdist_matches_naive():
+    rng = np.random.default_rng(1)
+    A = rng.standard_normal((4, 96)).astype(np.float32)
+    B = rng.standard_normal((7, 96)).astype(np.float32)
+    pa, pb = asmk.binarize_and_pack_2d(A), asmk.binarize_and_pack_2d(B)
+    d = asmk.hamming_cdist_packed(pa, pb, dim=96)
+    naive = (
+        (A[:, None, :] > 0) != (B[None, :, :] > 0)
+    ).sum(-1) / 96.0
+    np.testing.assert_allclose(d, naive, atol=1e-6)
+
+
+def test_codebook_quantize_matches_numpy():
+    rng = np.random.default_rng(2)
+    C = rng.standard_normal((32, 16)).astype(np.float32)
+    cb = asmk.Codebook(C)
+    q = rng.standard_normal((10, 16)).astype(np.float32)
+    ids = cb.quantize(q, 3)
+    d = ((q[:, None] - C[None]) ** 2).sum(-1)
+    expected = np.argsort(d, axis=1)[:, :3]
+    np.testing.assert_array_equal(np.sort(ids, 1), np.sort(expected, 1))
+    np.testing.assert_array_equal(ids[:, 0], expected[:, 0])
+
+
+def test_ivf_identifies_identical_image():
+    rng = np.random.default_rng(3)
+    C = rng.standard_normal((16, 8)).astype(np.float32)
+    cb = asmk.Codebook(C)
+    kern = asmk.ASMKKernel(cb, binary=True)
+    ivf = asmk.IVF(cb.size)
+
+    feats = [rng.standard_normal((20, 8)).astype(np.float32)
+             for _ in range(5)]
+    for im, f in enumerate(feats):
+        words = cb.quantize(f, 1)
+        ades, wids = kern.aggregate_image(f, words)
+        ivf.add(ades, wids, np.full(wids.shape[0], im, np.int64))
+
+    # query with image 2's features -> rank 0 must be image 2
+    words = cb.quantize(feats[2], 5)
+    ades, wids = kern.aggregate_image(feats[2], words)
+    ranks, scores = ivf.search(
+        ades, wids, lambda *a: kern.similarity(*a, alpha=3.0,
+                                               similarity_threshold=0.0)
+    )
+    assert ranks[0] == 2
+    assert scores[0] > scores[1]
+
+
+def test_prep_features_topk():
+    params = RetrievalParams.random(jax.random.PRNGKey(0), d_in=16,
+                                    hdims=(16,))
+    feat = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 40, 16)),
+        jnp.float32,
+    )
+    top = prep_features(params, feat, nfeat=10)
+    assert top.shape == (1, 10, 16)
+
+
+def test_database_loop_closure_on_sequence():
+    """Build the database along a loop trajectory; a late frame revisiting
+    the start must retrieve the early keyframes."""
+    from mast3r_slam_tpu.testing import (
+        OracleEngine, SyntheticSequence, make_oracle_retrieval,
+    )
+
+    seq = SyntheticSequence(n_frames=12, h=32, w=48, seed=1,
+                            traj_scale=0.35, loop=True)
+    engine = OracleEngine(seq)
+    db = make_oracle_retrieval(seq, engine)
+
+    class F:
+        def __init__(self, feat):
+            self.feat = feat
+
+    # add frames 0..9
+    for i in range(10):
+        feat, _ = engine.encode(None)
+        db.update(F(feat[0]), add_after_query=True, k=3, min_thresh=0.0)
+    # query with the last frame (loop closure: near frame 0)
+    feat, _ = engine.encode(None)
+    feat2, _ = engine.encode(None)
+    inds = db.update(F(feat2[0]), add_after_query=False, k=3,
+                     min_thresh=0.0)
+    assert len(inds) > 0
+    # closed loop: proposals should include an early keyframe
+    assert min(inds) <= 2, inds
+
+
+def test_pipeline_relocalization_recovers():
+    """Inject a tracking blackout; the system must enter RELOC and recover
+    via retrieval against the map."""
+    from mast3r_slam_tpu.pipeline import SLAMSystem
+    from mast3r_slam_tpu.testing import (
+        OracleEngine, SyntheticSequence, make_oracle_retrieval,
+    )
+    from mast3r_slam_tpu.utils.config import load_config
+
+    seq = SyntheticSequence(n_frames=14, h=32, w=48, seed=0,
+                            traj_scale=0.4)
+    engine = OracleEngine(seq, blackout_frames={6})
+    retrieval = make_oracle_retrieval(seq, engine)
+    cfg = load_config("config/eval_no_calib.yaml")
+    cfg["dataset"]["img_size"] = 48
+
+    system = SLAMSystem(cfg, engine, (seq.h, seq.w), buffer=32,
+                        retrieval=retrieval)
+    for i in range(len(seq)):
+        system.process_frame(i, seq.images[i])
+    system.terminate()
+
+    assert system.stats["skipped"] >= 1          # blackout caused a skip
+    assert system.stats["reloc"] >= 1            # entered RELOC
+    from mast3r_slam_tpu.frame import Mode
+
+    assert system.mode != Mode.RELOC             # ...and recovered
+    assert system.stats["tracked"] >= 8

@@ -1,0 +1,47 @@
+"""Distributed BA on the 8-virtual-device CPU mesh: must match the
+single-device solver bit-for-bit-ish and respect gauge fixing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mast3r_slam_tpu.ops import ba
+from mast3r_slam_tpu.parallel.mesh import make_mesh
+from mast3r_slam_tpu.parallel.sharded_ba import sharded_gauss_newton
+
+from test_ba import identity_scene, perturb, pose_err, K, P, W, H
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_matches_single_device():
+    T_true, Xs, Cs, ii, jj, idx, vm, Q, ev = identity_scene()
+    T0 = perturb(T_true)
+    cfg = ba.BAConfig(max_iters=10, chunk_points=128)
+
+    T_single, *_ = ba.gauss_newton(
+        T0, Xs, Cs, ii, jj, idx, vm, Q, ev, jnp.asarray(K), "ray", (W, H),
+        cfg,
+    )
+
+    # pad edges to a multiple of 8 for the mesh
+    E = ii.shape[0]
+    n_dev = len(jax.devices())
+    E_pad = ((E + n_dev - 1) // n_dev) * n_dev
+    pad = E_pad - E
+
+    def padE(a, fill=0):
+        return jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0
+        )
+
+    mesh = make_mesh(n_edge=n_dev, n_model=1)
+    T_sharded = sharded_gauss_newton(
+        mesh, T0, Xs, Cs, padE(ii), padE(jj), padE(idx), padE(vm, False),
+        padE(Q), padE(ev, False), jnp.asarray(K), "ray", (W, H), cfg,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(T_sharded), np.asarray(T_single), atol=2e-4
+    )
+    assert pose_err(T_sharded, T_true) < 1e-3
