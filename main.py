@@ -47,6 +47,9 @@ def parse_args():
                    help="oracle engine from the clip's oracle.npz "
                         "(synthetic clips; full-system verification without "
                         "checkpoint weights)")
+    p.add_argument("--int8-encoder", action="store_true",
+                   help="INT8-quantized encoder (fork TensorRT-INT8 parity; "
+                        "2x MXU peak on v5e)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--gt", default="", help="TUM-format GT for ATE scoring")
     p.add_argument("--profile", action="store_true")
@@ -154,6 +157,7 @@ def main():
             model, params, (h, w),
             downsample=int(config["dataset"].get("img_downsample", 1)),
             match_cfg=MatchingConfig.from_dict(config["matching"]),
+            int8_encoder=args.int8_encoder,
         )
     retrieval = None
     if not args.oracle:

@@ -35,7 +35,10 @@ class InferenceEngine:
 
     def __init__(self, model: MASt3R, params, img_hw: Tuple[int, int],
                  downsample: int = 1,
-                 match_cfg: matching.MatchingConfig | None = None):
+                 match_cfg: matching.MatchingConfig | None = None,
+                 int8_encoder: bool = False):
+        """int8_encoder enables the quantized encoder path (capability
+        parity with the fork's TensorRT INT8 feature; models/quant.py)."""
         self.model = model
         self.params = params
         self.img_hw = img_hw
@@ -47,9 +50,18 @@ class InferenceEngine:
         self.feat_dim = model.cfg.enc_embed_dim
         self.out_hw = (img_hw[0] // ds, img_hw[1] // ds)
 
-        self._encode = jax.jit(
-            lambda p, img: model.apply(p, img, method=MASt3R.encode)
-        )
+        if int8_encoder:
+            from .models.quant import encode_int8, quantize_encoder_params
+
+            self.qparams = quantize_encoder_params(params)
+            self._encode = jax.jit(
+                lambda p, img: encode_int8(p, self.qparams, img, model.cfg)
+            )
+        else:
+            self.qparams = None
+            self._encode = jax.jit(
+                lambda p, img: model.apply(p, img, method=MASt3R.encode)
+            )
         self._decode_head = jax.jit(
             functools.partial(self._decode_head_impl, img_hw)
         )

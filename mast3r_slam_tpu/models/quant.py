@@ -1,0 +1,144 @@
+"""INT8 quantized encoder path.
+
+Capability parity with the fork's TensorRT INT8 encoder acceleration
+(`/root/reference/successful_quantizer.py`, `tensorrt_integration.py`,
+`main_quantized.py` — the fork's headline feature: 3.31x claimed encoder
+speedup via INT8), redesigned TPU-native:
+
+* per-output-channel symmetric INT8 weight quantization of every encoder
+  Dense (qkv / proj / fc1 / fc2) — done once offline from the converted
+  checkpoint (no calibration dataset needed);
+* dynamic per-token symmetric INT8 activation quantization at runtime (the
+  TRT flow needs an entropy-calibration pass over TUM images,
+  successful_quantizer.py:139-263; dynamic scaling removes that step);
+* INT8 x INT8 -> INT32 matmuls on the v5e MXU (2x the bf16 peak), rescaled
+  in fp32; LayerNorms, RoPE and the attention softmax stay bf16/fp32.
+
+The decoder/heads stay bf16 (mirroring the fork, which quantizes only the
+encoder).  Accuracy is checked the same way the fork does — cosine
+similarity between fp and int8 encoder outputs
+(successful_quantizer.py:388-442).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .mast3r import MASt3RConfig
+from .rope import rope_2d
+
+
+class QuantDense(NamedTuple):
+    w_int8: jnp.ndarray    # (in, out) int8
+    scale: jnp.ndarray     # (out,) fp32: w = w_int8 * scale
+    bias: jnp.ndarray      # (out,) fp32
+
+
+def _quantize_dense(kernel, bias):
+    kernel = jnp.asarray(kernel, jnp.float32)
+    amax = jnp.max(jnp.abs(kernel), axis=0)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    w_int8 = jnp.clip(jnp.round(kernel / scale), -127, 127).astype(jnp.int8)
+    return QuantDense(w_int8, scale, jnp.asarray(bias, jnp.float32))
+
+
+def quantize_encoder_params(params) -> dict:
+    """Quantize all encoder-block Dense layers of a converted MASt3R param
+    pytree.  Returns {block_name: {layer: QuantDense}}."""
+    p = params["params"]
+    out = {}
+    for name, blk in p.items():
+        if not name.startswith("enc_block_"):
+            continue
+        out[name] = {
+            "qkv": _quantize_dense(blk["attn"]["qkv"]["kernel"],
+                                   blk["attn"]["qkv"]["bias"]),
+            "proj": _quantize_dense(blk["attn"]["proj"]["kernel"],
+                                    blk["attn"]["proj"]["bias"]),
+            "fc1": _quantize_dense(blk["mlp"]["fc1"]["kernel"],
+                                   blk["mlp"]["fc1"]["bias"]),
+            "fc2": _quantize_dense(blk["mlp"]["fc2"]["kernel"],
+                                   blk["mlp"]["fc2"]["bias"]),
+        }
+    return out
+
+
+def _int8_matmul(x, qd: QuantDense):
+    """Dynamic per-token int8 activation quant + int8 MXU matmul + fp32
+    rescale."""
+    x32 = x.astype(jnp.float32)
+    a_amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    a_scale = jnp.maximum(a_amax, 1e-12) / 127.0
+    x_int8 = jnp.clip(jnp.round(x32 / a_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_int8, qd.w_int8,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * a_scale * qd.scale[None, None, :] \
+        + qd.bias
+
+
+def _layernorm(x, scale, bias):
+    x = x.astype(jnp.float32)
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_int8(params, qparams, img, cfg: MASt3RConfig):
+    """INT8 encoder forward: img (B, H, W, 3) -> (feat fp32, pos).
+
+    Numerically mirrors MASt3R.encode with encoder-block Denses in INT8.
+    """
+    p = params["params"]
+    B, H, W, _ = img.shape
+    ps = cfg.patch_size
+    nh, nw = H // ps, W // ps
+
+    # patch embed (space-to-depth matmul, bf16)
+    x = img.reshape(B, nh, ps, nw, ps, 3).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B, nh * nw, ps * ps * 3)
+    pe = p["patch_embed"]["proj"]
+    x = (x.astype(jnp.bfloat16) @ pe["kernel"].astype(jnp.bfloat16)
+         + pe["bias"].astype(jnp.bfloat16))
+    yy, xx = jnp.meshgrid(jnp.arange(nh), jnp.arange(nw), indexing="ij")
+    pos = jnp.broadcast_to(
+        jnp.stack([yy, xx], -1).reshape(1, nh * nw, 2), (B, nh * nw, 2)
+    )
+
+    n_heads = cfg.enc_num_heads
+    D = cfg.enc_embed_dim
+    Dh = D // n_heads
+    N = nh * nw
+
+    for i in range(cfg.enc_depth):
+        blk = p[f"enc_block_{i}"]
+        q8 = qparams[f"enc_block_{i}"]
+        h = _layernorm(x, blk["norm1"]["scale"], blk["norm1"]["bias"])
+        qkv = _int8_matmul(h, q8["qkv"]).reshape(B, N, 3, n_heads, Dh)
+        q, k, v = [jnp.moveaxis(qkv[:, :, j], 2, 1) for j in range(3)]
+        q = rope_2d(q, pos, cfg.rope_freq)
+        k = rope_2d(k, pos, cfg.rope_freq)
+        att = jax.nn.dot_product_attention(
+            q.swapaxes(1, 2).astype(jnp.bfloat16),
+            k.swapaxes(1, 2).astype(jnp.bfloat16),
+            v.swapaxes(1, 2).astype(jnp.bfloat16),
+        ).swapaxes(1, 2)
+        att = att.swapaxes(1, 2).reshape(B, N, D)
+        x = x + _int8_matmul(att, q8["proj"]).astype(x.dtype)
+
+        h = _layernorm(x, blk["norm2"]["scale"], blk["norm2"]["bias"])
+        h = _int8_matmul(h, q8["fc1"])
+        h = jax.nn.gelu(h, approximate=False)
+        x = x + _int8_matmul(h, q8["fc2"]).astype(x.dtype)
+
+    feat = _layernorm(
+        x, p["enc_norm"]["scale"], p["enc_norm"]["bias"]
+    ).astype(jnp.float32)
+    return feat, pos

@@ -86,39 +86,54 @@ def prep_for_iter_proj(X11, X21, idx_1_to_2_init):
     return rays_with_grad, pts3d_norm, p_init
 
 
-def _bilinear(img_flat, h, w, u, v):
-    """Bilinear sample of img_flat (b, h*w, c) at float (u, v) (b, n).
+def _pack_corners(img_flat, w):
+    """Corner-packed table: row m = [img[m], img[m+1], img[m+w], img[m+w+1]].
 
-    Caller guarantees u in [1, w-2], v in [1, h-2] (reference clamps), so all
-    four corners are in-bounds.  Corner/weight pairing mirrors
-    matching_kernels.cu:154-183.
-    """
+    TPU gathers are row-count-bound (~90 Mrows/s regardless of row width up
+    to ~0.5 KB), so packing the four bilinear corners into one wide row
+    turns 4 gathers into 1.  The pack itself is dense rolls at full HBM
+    bandwidth, built ONCE per matching call and reused by all LM
+    iterations."""
+    c = img_flat.shape[-1]
+    return jnp.concatenate(
+        [img_flat,
+         jnp.roll(img_flat, -1, axis=1),
+         jnp.roll(img_flat, -w, axis=1),
+         jnp.roll(img_flat, -(w + 1), axis=1)],
+        axis=-1,
+    )  # (b, hw, 4c)
+
+
+def _bilinear_packed(packed, h, w, u, v):
+    """Bilinear sample from a corner-packed table (see _pack_corners) at
+    float (u, v) (b, n).  Caller guarantees u in [1, w-2], v in [1, h-2]
+    (reference clamps), so all corners are in-bounds.  Corner/weight
+    pairing mirrors matching_kernels.cu:154-183."""
+    b, n = u.shape
+    c4 = packed.shape[-1]
+    c = c4 // 4
     u0 = jnp.floor(u)
     v0 = jnp.floor(v)
     du = (u - u0)[..., None]
     dv = (v - v0)[..., None]
-    u0 = u0.astype(jnp.int32)
-    v0 = v0.astype(jnp.int32)
+    base = (v0 * w + u0).astype(jnp.int32)
 
-    def g(vv, uu):
-        idx = (vv * w + uu)[..., None]
-        return jnp.take_along_axis(img_flat, idx, axis=1)
-
-    w11 = du * dv          # pairs with (v0+1, u0+1)
-    w12 = (1 - du) * dv    # (v0+1, u0)
-    w21 = du * (1 - dv)    # (v0, u0+1)
-    w22 = (1 - du) * (1 - dv)  # (v0, u0)
+    g = jnp.take_along_axis(packed, base[..., None], axis=1)
+    g = g.reshape(b, n, 4, c)
+    # packed order: (v0,u0), (v0,u0+1), (v0+1,u0), (v0+1,u0+1)
+    w22 = (1 - du) * (1 - dv)
+    w21 = du * (1 - dv)
+    w12 = (1 - du) * dv
+    w11 = du * dv
     return (
-        w11 * g(v0 + 1, u0 + 1)
-        + w12 * g(v0 + 1, u0)
-        + w21 * g(v0, u0 + 1)
-        + w22 * g(v0, u0)
+        w22 * g[:, :, 0] + w21 * g[:, :, 1]
+        + w12 * g[:, :, 2] + w11 * g[:, :, 3]
     )
 
 
-def _ray_cost(rays_flat, h, w, u, v, pts3d_norm):
+def _ray_cost(rays_packed, h, w, u, v, pts3d_norm):
     """Sample+normalize ray at (u,v), return (cost, err, gx, gy)."""
-    sample = _bilinear(rays_flat, h, w, u, v)  # (b,n,9)
+    sample = _bilinear_packed(rays_packed, h, w, u, v)  # (b,n,9)
     r = _normalize(sample[..., 0:3])
     err = r - pts3d_norm
     cost = jnp.sum(err * err, axis=-1)
@@ -135,7 +150,7 @@ def iter_proj(rays_with_grad_img, pts3d_norm, p_init, max_iter=10,
     (b, n) bool).  Mirrors matching_kernels.cu:119-275.
     """
     b, h, w, _ = rays_with_grad_img.shape
-    flat = rays_with_grad_img.reshape(b, h * w, 9)
+    flat = _pack_corners(rays_with_grad_img.reshape(b, h * w, 9), w)
 
     u = jnp.clip(p_init[..., 0], 1.0, w - 2.0)
     v = jnp.clip(p_init[..., 1], 1.0, h - 2.0)
@@ -173,55 +188,98 @@ def iter_proj(rays_with_grad_img, pts3d_norm, p_init, max_iter=10,
     return jnp.stack([u, v], axis=-1), conv
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "dilation_max"))
-def refine_matches(D11, D21, p1, radius=3, dilation_max=5):
+@functools.partial(
+    jax.jit, static_argnames=("radius", "dilation_max", "chunk")
+)
+def refine_matches(D11, D21, p1, radius=3, dilation_max=5, chunk=16384):
     """Coarse-to-fine dilated window argmax of descriptor dot products.
 
     D11: (b, h, w, f) descriptor image; D21: (b, n, f) query descriptors;
     p1: (b, n, 2) int pixel guesses.  Mirrors matching_kernels.cu:26-81
-    including iteration order (u-major) and strictly-greater tie-breaking.
+    including probe order (u-major) and first-maximum tie-breaking.
+
+    TPU formulation: gathers are ROW-COUNT-bound on TPU (~90 Mrows/s
+    regardless of row width), so per dilation the whole (2r+1)^2 window is
+    PRE-PACKED into wide rows with dense rolls (full-bandwidth HBM work)
+    and fetched with ONE gather per query, then scored with a single MXU
+    contraction + argmax.  This replaces the reference's 49-probe inner
+    loop per dilation (one probe per CUDA thread step) with one gather +
+    one matmul — about 30x fewer gather rows than the naive formulation.
     """
     b, h, w, f = D11.shape
-    flat = D11.reshape(b, h * w, f)
-    u0 = p1[..., 0].astype(jnp.int32)
-    v0 = p1[..., 1].astype(jnp.int32)
+    n = p1.shape[1]
+    hw = h * w
+    flat = D11.reshape(b, hw, f)
+    D21c = D21.astype(D11.dtype)
+    k_side = 2 * radius + 1
+    K = k_side * k_side
 
-    compute = jnp.promote_types(D11.dtype, jnp.float32)
+    uv0 = p1.astype(jnp.int32)
+
+    def per_dilation(uv0, d):
+        rd = radius * d
+        # Offsets in reference probe order: i (u) outer, j (v) inner
+        offs = [(-rd + i * d, -rd + j * d)
+                for i in range(k_side) for j in range(k_side)]
+        off_arr = jnp.asarray(offs, jnp.int32)            # (K, 2)
+        # Probe-packed table row m = [D11[m + lin(o)] for o in offs],
+        # built SEPARABLY (u-shifts then v-shifts: 2*k_side rolls instead
+        # of k_side^2 — same bytes, far smaller XLA graph).
+        v_pack = jnp.concatenate(
+            [jnp.roll(flat, (rd - j * d) * w, axis=1)
+             for j in range(k_side)], axis=-1,
+        )                                                  # (b, hw, k_side*f)
+        packed = jnp.concatenate(
+            [jnp.roll(v_pack, rd - i * d, axis=1)
+             for i in range(k_side)], axis=-1,
+        )  # (b, hw, K*f), block k = i*k_side + j (reference probe order)
+
+        C = min(chunk, n)
+        n_chunks = (n + C - 1) // C
+        pad = n_chunks * C - n
+        uv_pad = jnp.pad(uv0, ((0, 0), (0, pad), (0, 0)))
+        q_pad = jnp.pad(D21c, ((0, 0), (0, pad), (0, 0)))
+        uv_cs = uv_pad.reshape(b, n_chunks, C, 2).swapaxes(0, 1)
+        q_cs = q_pad.reshape(b, n_chunks, C, f).swapaxes(0, 1)
+
+        def chunk_body(_, inp):
+            uv, q = inp                                    # (b,C,2), (b,C,f)
+            u0 = uv[..., 0]
+            v0 = uv[..., 1]
+            base = jnp.clip(v0 * w + u0, 0, hw - 1)
+            cand = jnp.take_along_axis(
+                packed, base[..., None], axis=1
+            ).reshape(b, C, K, f)                          # one gather
+            score = jnp.einsum(
+                "bnkf,bnf->bnk", cand, q,
+                preferred_element_type=jnp.float32,
+            )
+            uu = u0[..., None] + off_arr[None, None, :, 0]  # (b, C, K)
+            vv = v0[..., None] + off_arr[None, None, :, 1]
+            inside = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+            score = jnp.where(inside, score, -jnp.inf)
+            # first-maximum = reference's strictly-greater update order;
+            # center keeps position when all scores <= 0 (float-min init)
+            kbest = jnp.argmax(score, axis=-1)
+            sbest = jnp.take_along_axis(
+                score, kbest[..., None], axis=-1
+            )[..., 0]
+            keep_center = sbest <= 0.0
+            ub = jnp.where(keep_center, u0,
+                           jnp.take_along_axis(uu, kbest[..., None],
+                                               axis=-1)[..., 0])
+            vb = jnp.where(keep_center, v0,
+                           jnp.take_along_axis(vv, kbest[..., None],
+                                               axis=-1)[..., 0])
+            return _, jnp.stack([ub, vb], axis=-1)
+
+        _, outs = jax.lax.scan(chunk_body, 0, (uv_cs, q_cs))
+        outs = outs.swapaxes(0, 1).reshape(b, n_chunks * C, 2)
+        return outs[:, :n]
 
     for d in range(dilation_max, 0, -1):
-        rd = radius * d
-        best = jnp.zeros(u0.shape, dtype=compute)  # ref inits ~ float-min
-        u_best, v_best = u0, v0
-        # Offsets in reference order: i (u) outer, j (v) inner
-        offsets = [(-rd + i, -rd + j)
-                   for i in range(0, 2 * rd + 1, d)
-                   for j in range(0, 2 * rd + 1, d)]
-        off = jnp.asarray(offsets, dtype=jnp.int32)  # (K, 2)
-
-        def body(k, state):
-            best, u_best, v_best = state
-            uu = u0 + off[k, 0]
-            vv = v0 + off[k, 1]
-            inside = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
-            idx = jnp.clip(vv * w + uu, 0, h * w - 1)[..., None]
-            cand = jnp.take_along_axis(flat, idx, axis=1)  # (b,n,f)
-            score = jnp.sum(
-                cand.astype(compute) * D21.astype(compute), axis=-1
-            )
-            score = jnp.where(inside, score, -jnp.inf)
-            better = score > best
-            return (
-                jnp.where(better, score, best),
-                jnp.where(better, uu, u_best),
-                jnp.where(better, vv, v_best),
-            )
-
-        best, u_best, v_best = jax.lax.fori_loop(
-            0, off.shape[0], body, (best, u0, v0)
-        )
-        u0, v0 = u_best, v_best
-
-    return jnp.stack([u0, v0], axis=-1)
+        uv0 = per_dilation(uv0, d)
+    return uv0
 
 
 def match(X11, X21, D11, D21, idx_1_to_2_init=None,

@@ -336,6 +336,71 @@ class SLAMSystem:
 
     # ------------------------------------------------------------------
 
+    # ------------------------------------------------------------------
+    # SLAM-state checkpoint / resume (absent in the reference, which only
+    # persists final outputs — SURVEY §5; cheap here because all mutable
+    # state lives in the arena pytree + the factor-graph arrays)
+    # ------------------------------------------------------------------
+
+    def save_state(self, path):
+        """Snapshot the full SLAM state (map arena, factor graph, mode) to
+        an npz for mid-run checkpointing / later resume."""
+        import numpy as np
+
+        self.drain()
+        g = self.graph
+        import dataclasses
+
+        arrays = {
+            f"arena_{f.name}": np.asarray(getattr(self.arena, f.name))
+            for f in dataclasses.fields(self.arena)
+        }
+        np.savez_compressed(
+            path,
+            mode=self.mode.value,
+            last_T_WC=np.asarray(self.last_T_WC),
+            graph_ii=g.ii, graph_jj=g.jj, graph_n_edges=g.n_edges,
+            graph_idx_ii2jj=np.asarray(g.idx_ii2jj),
+            graph_idx_jj2ii=np.asarray(g.idx_jj2ii),
+            graph_vmj=np.asarray(g.valid_match_j),
+            graph_vmi=np.asarray(g.valid_match_i),
+            graph_Qj=np.asarray(g.Q_ii2jj),
+            graph_Qi=np.asarray(g.Q_jj2ii),
+            stats=np.asarray(
+                [self.stats[k] for k in sorted(self.stats)], np.int64
+            ),
+            **arrays,
+        )
+
+    def load_state(self, path):
+        """Restore a save_state snapshot."""
+        import numpy as np
+
+        import dataclasses
+
+        d = np.load(path)
+        arena_kw = {}
+        for f in dataclasses.fields(self.arena):
+            key = f"arena_{f.name}"
+            if key in d:
+                arena_kw[f.name] = jnp.asarray(d[key])
+        self.arena = self.arena.replace(**arena_kw)
+        self.mode = Mode(int(d["mode"]))
+        self.last_T_WC = jnp.asarray(d["last_T_WC"])
+        g = self.graph
+        g.ii = d["graph_ii"].copy()
+        g.jj = d["graph_jj"].copy()
+        g.n_edges = int(d["graph_n_edges"])
+        g.idx_ii2jj = jnp.asarray(d["graph_idx_ii2jj"])
+        g.idx_jj2ii = jnp.asarray(d["graph_idx_jj2ii"])
+        g.valid_match_j = jnp.asarray(d["graph_vmj"])
+        g.valid_match_i = jnp.asarray(d["graph_vmi"])
+        g.Q_ii2jj = jnp.asarray(d["graph_Qj"])
+        g.Q_jj2ii = jnp.asarray(d["graph_Qi"])
+        for k, v in zip(sorted(self.stats), d["stats"]):
+            self.stats[k] = int(v)
+        self.tracker.reset_idx_f2k()
+
     def drain(self):
         """Block until all backend tasks are done (single-thread barrier
         semantics of main.py:344-361 are implicit; this is for threaded

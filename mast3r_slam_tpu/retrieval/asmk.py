@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 try:
-    from .native import hamming_native
+    from .native.loader import hamming_native
 except Exception:  # pragma: no cover
     hamming_native = None
 

@@ -110,3 +110,40 @@ def test_ate_evaluator_selfcheck(tmp_path):
     write(tmp_path / "b.txt", pos2)
     ate = evaluate.ate_rmse(tmp_path / "a.txt", tmp_path / "b.txt")
     assert ate < 1e-4, ate
+
+
+def test_state_checkpoint_resume(tmp_path, seq):
+    """Mid-run save_state/load_state roundtrip: a resumed system continues
+    tracking and matches the uninterrupted run's final keyframe count."""
+    from mast3r_slam_tpu.testing import OracleEngine
+
+    cfg = load_config("config/eval_no_calib.yaml")
+    cfg["dataset"]["img_size"] = 64
+
+    # uninterrupted run
+    full = run_system(seq, cfg)
+
+    # interrupted + resumed run
+    engine = OracleEngine(seq)
+    sys_a = SLAMSystem(cfg, engine, (seq.h, seq.w), buffer=32)
+    half = len(seq) // 2
+    for i in range(half):
+        sys_a.process_frame(i, seq.images[i])
+    sys_a.save_state(tmp_path / "state.npz")
+
+    engine_b = OracleEngine(seq)
+    engine_b._encode_counter = half  # resume frame-id alignment
+    sys_b = SLAMSystem(cfg, engine_b, (seq.h, seq.w), buffer=32)
+    sys_b.load_state(tmp_path / "state.npz")
+    for i in range(half, len(seq)):
+        sys_b.process_frame(i, seq.images[i])
+    sys_b.terminate()
+
+    assert sys_b.stats["keyframes"] == full.stats["keyframes"]
+    import jax.numpy as jnp
+
+    n = int(sys_b.arena.n_size)
+    assert n == int(full.arena.n_size)
+    # final poses close to the uninterrupted run
+    err = float(jnp.abs(sys_b.arena.T_WC[:n] - full.arena.T_WC[:n]).max())
+    assert err < 1e-3, err
