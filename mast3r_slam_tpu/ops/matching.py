@@ -104,9 +104,13 @@ def _pack_corners(img_flat, w):
     )  # (b, hw, 4c)
 
 
-def _bilinear_packed(packed, h, w, u, v):
+def _bilinear_packed_t(packed, h, w, u, v):
     """Bilinear sample from a corner-packed table (see _pack_corners) at
-    float (u, v) (b, n).  Caller guarantees u in [1, w-2], v in [1, h-2]
+    float (u, v) (b, n), returned LANES-LAST: (b, c, n).
+
+    TPU layout note: all downstream math runs with the point axis in the
+    128-lane dimension; trailing dims of 3/9 would waste >90%% of every
+    vector register.  Caller guarantees u in [1, w-2], v in [1, h-2]
     (reference clamps), so all corners are in-bounds.  Corner/weight
     pairing mirrors matching_kernels.cu:154-183."""
     b, n = u.shape
@@ -114,30 +118,32 @@ def _bilinear_packed(packed, h, w, u, v):
     c = c4 // 4
     u0 = jnp.floor(u)
     v0 = jnp.floor(v)
-    du = (u - u0)[..., None]
-    dv = (v - v0)[..., None]
+    du = (u - u0)[:, None, :]
+    dv = (v - v0)[:, None, :]
     base = (v0 * w + u0).astype(jnp.int32)
 
     g = jnp.take_along_axis(packed, base[..., None], axis=1)
-    g = g.reshape(b, n, 4, c)
+    g = jnp.moveaxis(g, 1, 2).reshape(b, 4, c, n)
     # packed order: (v0,u0), (v0,u0+1), (v0+1,u0), (v0+1,u0+1)
     w22 = (1 - du) * (1 - dv)
     w21 = du * (1 - dv)
     w12 = (1 - du) * dv
     w11 = du * dv
     return (
-        w22 * g[:, :, 0] + w21 * g[:, :, 1]
-        + w12 * g[:, :, 2] + w11 * g[:, :, 3]
+        w22 * g[:, 0] + w21 * g[:, 1] + w12 * g[:, 2] + w11 * g[:, 3]
     )
 
 
-def _ray_cost(rays_packed, h, w, u, v, pts3d_norm):
-    """Sample+normalize ray at (u,v), return (cost, err, gx, gy)."""
-    sample = _bilinear_packed(rays_packed, h, w, u, v)  # (b,n,9)
-    r = _normalize(sample[..., 0:3])
-    err = r - pts3d_norm
-    cost = jnp.sum(err * err, axis=-1)
-    return cost, err, sample[..., 3:6], sample[..., 6:9]
+def _ray_cost(rays_packed, h, w, u, v, pts3d_norm_t):
+    """Sample+normalize ray at (u,v); lanes-last.  Returns
+    (cost (b,n), err (b,3,n), gx (b,3,n), gy (b,3,n))."""
+    s = _bilinear_packed_t(rays_packed, h, w, u, v)     # (b,9,n)
+    ray = s[:, 0:3]
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(ray * ray, axis=1, keepdims=True),
+                                1e-24))
+    err = ray / norm - pts3d_norm_t
+    cost = jnp.sum(err * err, axis=1)
+    return cost, err, s[:, 3:6], s[:, 6:9]
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
@@ -151,6 +157,7 @@ def iter_proj(rays_with_grad_img, pts3d_norm, p_init, max_iter=10,
     """
     b, h, w, _ = rays_with_grad_img.shape
     flat = _pack_corners(rays_with_grad_img.reshape(b, h * w, 9), w)
+    pts3d_norm_t = jnp.moveaxis(pts3d_norm, 1, 2)       # (b, 3, n)
 
     u = jnp.clip(p_init[..., 0], 1.0, w - 2.0)
     v = jnp.clip(p_init[..., 1], 1.0, h - 2.0)
@@ -159,14 +166,15 @@ def iter_proj(rays_with_grad_img, pts3d_norm, p_init, max_iter=10,
 
     def body(_, state):
         u, v, lam, conv = state
-        cost, err, gx, gy = _ray_cost(flat, h, w, u, v, pts3d_norm)
+        cost, err, gx, gy = _ray_cost(flat, h, w, u, v, pts3d_norm_t)
 
-        # Normal equations of the 2-dof system (J = [gx gy])
-        A00 = jnp.sum(gx * gx, axis=-1) + lam
-        A01 = jnp.sum(gx * gy, axis=-1)
-        A11 = jnp.sum(gy * gy, axis=-1) + lam
-        b0 = -jnp.sum(err * gx, axis=-1)
-        b1 = -jnp.sum(err * gy, axis=-1)
+        # Normal equations of the 2-dof system (J = [gx gy]); channel
+        # reductions over axis 1, point axis stays in lanes
+        A00 = jnp.sum(gx * gx, axis=1) + lam
+        A01 = jnp.sum(gx * gy, axis=1)
+        A11 = jnp.sum(gy * gy, axis=1) + lam
+        b0 = -jnp.sum(err * gx, axis=1)
+        b1 = -jnp.sum(err * gy, axis=1)
 
         det = A00 * A11 - A01 * A01
         det_inv = 1.0 / jnp.where(jnp.abs(det) < 1e-24, 1e-24, det)
@@ -175,7 +183,8 @@ def iter_proj(rays_with_grad_img, pts3d_norm, p_init, max_iter=10,
 
         u_new = jnp.clip(u + du_, 1.0, w - 2.0)
         v_new = jnp.clip(v + dv_, 1.0, h - 2.0)
-        new_cost, _, _, _ = _ray_cost(flat, h, w, u_new, v_new, pts3d_norm)
+        new_cost, _, _, _ = _ray_cost(flat, h, w, u_new, v_new,
+                                      pts3d_norm_t)
 
         accept = new_cost < cost
         u = jnp.where(accept, u_new, u)
@@ -225,57 +234,53 @@ def refine_matches(D11, D21, p1, radius=3, dilation_max=5, chunk=16384):
         # Probe-packed table row m = [D11[m + lin(o)] for o in offs],
         # built SEPARABLY (u-shifts then v-shifts: 2*k_side rolls instead
         # of k_side^2 — same bytes, far smaller XLA graph).
+        # v-offsets pre-packed into one wide row (k_side rolls, dense HBM
+        # work); the k_side u-offsets are k_side gathers of 168-wide rows.
+        # (A single 1176-wide probe pack would need only ONE gather per
+        # dilation but reproducibly blows the TPU executable past the
+        # 2 GiB serialization limit — empirical backend constraint.)
+        # Scoring runs lanes-last: n-batched tiny einsums lower to
+        # per-batch ops; the (b, k, f, n) elementwise reduce does not.
         v_pack = jnp.concatenate(
             [jnp.roll(flat, (rd - j * d) * w, axis=1)
              for j in range(k_side)], axis=-1,
         )                                                  # (b, hw, k_side*f)
-        packed = jnp.concatenate(
-            [jnp.roll(v_pack, rd - i * d, axis=1)
-             for i in range(k_side)], axis=-1,
-        )  # (b, hw, K*f), block k = i*k_side + j (reference probe order)
 
-        C = min(chunk, n)
-        n_chunks = (n + C - 1) // C
-        pad = n_chunks * C - n
-        uv_pad = jnp.pad(uv0, ((0, 0), (0, pad), (0, 0)))
-        q_pad = jnp.pad(D21c, ((0, 0), (0, pad), (0, 0)))
-        uv_cs = uv_pad.reshape(b, n_chunks, C, 2).swapaxes(0, 1)
-        q_cs = q_pad.reshape(b, n_chunks, C, f).swapaxes(0, 1)
-
-        def chunk_body(_, inp):
-            uv, q = inp                                    # (b,C,2), (b,C,f)
-            u0 = uv[..., 0]
-            v0 = uv[..., 1]
-            base = jnp.clip(v0 * w + u0, 0, hw - 1)
+        u0 = uv0[..., 0]
+        v0 = uv0[..., 1]
+        base = v0 * w + u0
+        q_t = jnp.moveaxis(D21c, 1, 2)[:, None]            # (b, 1, f, n)
+        score_blocks = []
+        for i in range(k_side):
+            du = i * d - rd
+            idx = jnp.clip(base + du, 0, hw - 1)
             cand = jnp.take_along_axis(
-                packed, base[..., None], axis=1
-            ).reshape(b, C, K, f)                          # one gather
-            score = jnp.einsum(
-                "bnkf,bnf->bnk", cand, q,
-                preferred_element_type=jnp.float32,
-            )
-            uu = u0[..., None] + off_arr[None, None, :, 0]  # (b, C, K)
-            vv = v0[..., None] + off_arr[None, None, :, 1]
-            inside = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
-            score = jnp.where(inside, score, -jnp.inf)
-            # first-maximum = reference's strictly-greater update order;
-            # center keeps position when all scores <= 0 (float-min init)
-            kbest = jnp.argmax(score, axis=-1)
-            sbest = jnp.take_along_axis(
-                score, kbest[..., None], axis=-1
-            )[..., 0]
-            keep_center = sbest <= 0.0
-            ub = jnp.where(keep_center, u0,
-                           jnp.take_along_axis(uu, kbest[..., None],
-                                               axis=-1)[..., 0])
-            vb = jnp.where(keep_center, v0,
-                           jnp.take_along_axis(vv, kbest[..., None],
-                                               axis=-1)[..., 0])
-            return _, jnp.stack([ub, vb], axis=-1)
+                v_pack, idx[..., None], axis=1
+            )                                              # (b, n, k_side*f)
+            cand_t = jnp.moveaxis(cand, 1, 2).reshape(b, k_side, f, n)
+            score_blocks.append(jnp.sum(
+                (cand_t * q_t).astype(jnp.float32), axis=2
+            ))                                             # (b, k_side, n)
+        score = jnp.concatenate(score_blocks, axis=1)      # (b, K, n)
 
-        _, outs = jax.lax.scan(chunk_body, 0, (uv_cs, q_cs))
-        outs = outs.swapaxes(0, 1).reshape(b, n_chunks * C, 2)
-        return outs[:, :n]
+        uu = off_arr[None, :, 0:1] + u0[:, None, :]        # (b, K, n)
+        vv = off_arr[None, :, 1:2] + v0[:, None, :]
+        inside = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+        score = jnp.where(inside, score, -jnp.inf)
+        # first-maximum = reference's strictly-greater update order;
+        # center keeps position when all scores <= 0 (float-min init)
+        kbest = jnp.argmax(score, axis=1)                  # (b, n)
+        sbest = jnp.take_along_axis(score, kbest[:, None, :], axis=1)[:, 0]
+        keep_center = sbest <= 0.0
+        ub = jnp.where(
+            keep_center, u0,
+            jnp.take_along_axis(uu, kbest[:, None, :], axis=1)[:, 0],
+        )
+        vb = jnp.where(
+            keep_center, v0,
+            jnp.take_along_axis(vv, kbest[:, None, :], axis=1)[:, 0],
+        )
+        return jnp.stack([ub, vb], axis=-1)
 
     for d in range(dilation_max, 0, -1):
         uv0 = per_dilation(uv0, d)

@@ -32,3 +32,20 @@ def edge_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Initialize jax.distributed for a multi-host slice (the DCN tier of
+    the scaling design: keyframe-axis sharding across hosts, edge axis
+    within a host over ICI).  No-op when single-process args are absent."""
+    import jax
+
+    if coordinator_address is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True

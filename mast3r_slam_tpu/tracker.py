@@ -80,6 +80,19 @@ class TrackerConfig(NamedTuple):
 # Gauss-Newton Sim(3) solvers (tracker.py:156-266 equivalents)
 # ---------------------------------------------------------------------------
 
+def _fuse_pose_jacobian(J_res, pW):
+    """J = -(J_res @ [I | -skew(pW) | pW]) computed with elementwise/cross
+    ops instead of 196k-batched tiny matmuls (pathological on TPU).
+
+    J_res: (n, R, 3) residual Jacobian wrt the transformed point;
+    pW: (n, 3).  Returns (n, R, 7).
+    Identity: row a @ skew(p) = a x p.
+    """
+    p = pW[:, None, :]
+    rot = jnp.cross(J_res, p)                      # (n, R, 3)
+    scl = jnp.sum(J_res * p, axis=-1, keepdims=True)
+    return jnp.concatenate([-J_res, rot, -scl], axis=-1)
+
 def _gn_solve_7x7(sqrt_info, r, J, huber_k):
     """Whiten, robustify, assemble the 7x7 normal equations and solve
     (reference FrameTracker.solve, tracker.py:156-171).
@@ -103,14 +116,69 @@ def _gn_solve_7x7(sqrt_info, r, J, huber_k):
 def opt_pose_ray_dist_sim3(Xf, Xk, T_init, Qk, valid, cfg: TrackerConfig):
     """Uncalibrated GN: ray + distance residuals
     (tracker.py:173-214). Xf, Xk: (n, 3); Qk, valid: (n, 1).
-    Returns (T_CkCf, ok)."""
-    vq = valid * jnp.sqrt(Qk)
-    sqrt_info_ray = (1.0 / cfg.sigma_ray) * vq
-    sqrt_info_dist = (1.0 / cfg.sigma_dist) * vq
-    sqrt_info = jnp.concatenate(
-        [jnp.repeat(sqrt_info_ray, 3, axis=1), sqrt_info_dist], axis=1
-    )
-    rd_k = point_to_ray_dist(Xk)
+    Returns (T_CkCf, ok).
+
+    TPU layout: the whole iteration runs in structure-of-arrays form with
+    the POINT axis last (lanes) — small trailing dims like (n, 4, 7) leave
+    121/128 lanes idle; (rows, n) keeps the VPU full and the normal
+    equations become a handful of (7, n) x (n, 7) MXU matmuls.
+    """
+    n = Xf.shape[0]
+    Xf_t = Xf.T                                      # (3, n)
+    vq = (valid * jnp.sqrt(Qk))[:, 0]                # (n,)
+    w_ray = (1.0 / cfg.sigma_ray) * vq
+    w_dist = (1.0 / cfg.sigma_dist) * vq
+    sqrt_info_t = jnp.stack([w_ray, w_ray, w_ray, w_dist])  # (4, n)
+
+    dk = jnp.sqrt(jnp.maximum(jnp.sum(Xk * Xk, axis=-1), 1e-24))
+    rd_k_t = jnp.concatenate([Xk.T / dk[None, :], dk[None, :]])  # (4, n)
+
+    def residuals_and_J(T):
+        """SoA ray+dist residuals and fused pose Jacobian.
+
+        Jacobian identity (see _fuse_pose_jacobian): for residual-row
+        gradient a = d res/d p (3, n) at the transformed point p,
+        J_row = [-a | a x p | -(a . p)].
+        """
+        p = sim3.act(T, Xf)                          # (n, 3) -> transpose
+        px, py, pz = p.T
+        d2 = px * px + py * py + pz * pz
+        d = jnp.sqrt(jnp.maximum(d2, 1e-24))
+        dinv = 1.0 / d
+        rx, ry, rz = px * dinv, py * dinv, pz * dinv
+
+        # residual rows (4, n): rd_k - rd(p)
+        r0 = rd_k_t[0] - rx
+        r1 = rd_k_t[1] - ry
+        r2 = rd_k_t[2] - rz
+        r3 = rd_k_t[3] - d
+
+        # d(r)/dp entries: (I - r r^T)/d, plus d(d)/dp = r
+        d3 = dinv * dinv * dinv
+        axx = dinv - px * px * d3
+        ayy = dinv - py * py * d3
+        azz = dinv - pz * pz * d3
+        axy = -px * py * d3
+        axz = -px * pz * d3
+        ayz = -py * pz * d3
+
+        def row(ax, ay, az):
+            # [-a | a x p | -(a . p)] as a list of 7 (n,) arrays
+            return [-ax, -ay, -az,
+                    ay * pz - az * py,
+                    az * px - ax * pz,
+                    ax * py - ay * px,
+                    -(ax * px + ay * py + az * pz)]
+
+        J_rows = [
+            row(axx, axy, axz),       # ray x
+            row(axy, ayy, ayz),       # ray y
+            row(axz, ayz, azz),       # ray z
+            row(rx, ry, rz),          # dist
+        ]
+        r_t = jnp.stack([r0, r1, r2, r3])            # (4, n)
+        J_t = jnp.stack([jnp.stack(rr) for rr in J_rows])  # (4, 7, n)
+        return r_t, J_t
 
     def cond(state):
         T, old_cost, i, done, ok = state
@@ -118,13 +186,25 @@ def opt_pose_ray_dist_sim3(Xf, Xk, T_init, Qk, valid, cfg: TrackerConfig):
 
     def body(state):
         T, old_cost, i, done, ok = state
-        Xf_Ck, J_T = sim3.act_jac(T, Xf)                 # (n,3), (n,3,7)
-        rd, J_rd = point_to_ray_dist(Xf_Ck, jacobian=True)  # (n,4), (n,4,3)
-        r = rd_k - rd
-        J = -jnp.einsum("nij,njk->nik", J_rd, J_T)       # (n,4,7)
-        tau, new_cost, solve_ok = _gn_solve_7x7(
-            sqrt_info, r, J, cfg.huber_k
-        )
+        r_t, J_t = residuals_and_J(T)
+
+        whit = sqrt_info_t * r_t                         # (4, n)
+        robust = sqrt_info_t * jnp.sqrt(huber(whit, k=cfg.huber_k))
+        A = (robust[:, None, :] * J_t).reshape(4 * 7, n)  # rows of sqrt-sys
+        b = (robust * r_t)                                # (4, n)
+        # H = sum_r A_r A_r^T accumulated over the 4 residual rows
+        A4 = A.reshape(4, 7, n)
+        H = jnp.einsum("rkn,rln->kl", A4, A4,
+                       preferred_element_type=jnp.float32)
+        g = -jnp.einsum("rkn,rn->k", A4, b,
+                        preferred_element_type=jnp.float32)
+        new_cost = 0.5 * jnp.sum(b * b)
+
+        L = jnp.linalg.cholesky(H)
+        tau = jax.scipy.linalg.cho_solve((L, True), g[:, None])[:, 0]
+        solve_ok = jnp.all(jnp.isfinite(tau))
+        tau = jnp.where(solve_ok, tau, 0.0)
+
         T_new = sim3.retr(T, tau)
         conv = check_convergence(
             cfg.rel_error, cfg.delta_norm, old_cost, new_cost, tau
@@ -154,14 +234,14 @@ def opt_pose_calib_sim3(Xf, Xk, T_init, Qk, valid, meas_k, valid_meas_k, K,
 
     def body(state):
         T, old_cost, i, done, ok = state
-        Xf_Ck, J_T = sim3.act_jac(T, Xf)
+        Xf_Ck = sim3.act(T, Xf)
         pz, J_pz, valid_proj = project_calib(
             Xf_Ck, K, img_size, jacobian=True,
             border=cfg.pixel_border, z_eps=cfg.depth_eps,
         )
         si = (valid_proj & valid_meas_k) * sqrt_info
         r = meas_k - pz
-        J = -jnp.einsum("nij,njk->nik", J_pz, J_T)
+        J = _fuse_pose_jacobian(J_pz, Xf_Ck)
         tau, new_cost, solve_ok = _gn_solve_7x7(si, r, J, cfg.huber_k)
         T_new = sim3.retr(T, tau)
         conv = check_convergence(

@@ -100,3 +100,26 @@ class TimeProfiler:
 
 
 profiler = TimeProfiler()
+
+
+# ---------------------------------------------------------------------------
+# tic/toc convenience (reference mast3r_slam/tictoc.py:4-31 — CUDA-event
+# timers there; here host timers around explicitly synchronized sections)
+# ---------------------------------------------------------------------------
+
+_tic_stack: list = []
+
+
+def tic():
+    import time
+
+    _tic_stack.append(time.perf_counter())
+
+
+def toc(msg: str = "") -> float:
+    import time
+
+    dt = time.perf_counter() - _tic_stack.pop()
+    if msg:
+        print(f"{msg}: {dt * 1e3:.2f} ms")
+    return dt
