@@ -24,8 +24,9 @@ def parse_args():
     p.add_argument("--config", default="config/base.yaml")
     p.add_argument("--save-as", default="default")
     p.add_argument("--no-viz", action="store_true",
-                   help="headless (viz is export-based in this framework; "
-                        "flag kept for CLI parity)")
+                   help="headless: no live viewer (map export still runs)")
+    p.add_argument("--viz-port", type=int, default=8089,
+                   help="live WebGL viewer port (serves on localhost)")
     p.add_argument("--calib", default="",
                    help="intrinsics yaml override (reference "
                         "config/intrinsics.yaml schema)")
@@ -173,17 +174,40 @@ def main():
                   "loop closure and relocalization proposals disabled")
     system = SLAMSystem(config, engine, (h, w), K=K, retrieval=retrieval)
 
+    viewer = None
+    if not args.no_viz:
+        from mast3r_slam_tpu.viz_server import LiveViewer
+
+        viewer = LiveViewer(port=args.viz_port)
+        print(f"live viewer: http://127.0.0.1:{viewer.port}/")
+
     n = len(dataset)
     if args.max_frames:
         n = min(n, args.max_frames)
     fps_timer = time.time()
     for i in range(n):
+        if viewer is not None:
+            # pause/step control channel (reference WindowMsg semantics:
+            # main.py:291-303)
+            msg = viewer.get_msg()
+            while msg.is_paused and msg.next == 0:
+                time.sleep(0.05)
+                msg = viewer.get_msg()
+            if msg.is_paused:
+                viewer.consume_step()
         timestamp, img = dataset[i]
         info = system.process_frame(i, img)
+        if viewer is not None and (info["new_kf"] or i % 15 == 0):
+            g = system.graph
+            ne = int(g.n_edges)
+            viewer.publish(system.arena, g.ii[:ne], g.jj[:ne],
+                           stats=system.stats)
         if i % 30 == 0 and i > 0:
             print(f"FPS: {i / (time.time() - fps_timer):.2f}  "
                   f"mode={info['mode']} kf={system.stats['keyframes']}")
     system.terminate()
+    if viewer is not None:
+        viewer.publish(system.arena, stats=system.stats)
     wall = time.time() - fps_timer
     print(f"done: {n} frames in {wall:.1f}s ({n / wall:.2f} FPS)")
     print(f"stats: {system.stats}")

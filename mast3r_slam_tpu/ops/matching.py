@@ -37,6 +37,7 @@ class MatchingConfig(NamedTuple):
     dist_thresh: float = 1e-1
     radius: int = 3
     dilation_max: int = 5
+    desc_bits: int = 8   # refine descriptor table precision: 8 (int8) | 16
 
     @classmethod
     def from_dict(cls, d: dict) -> "MatchingConfig":
@@ -47,6 +48,7 @@ class MatchingConfig(NamedTuple):
             dist_thresh=float(d["dist_thresh"]),
             radius=int(d["radius"]),
             dilation_max=int(d["dilation_max"]),
+            desc_bits=int(d.get("desc_bits", 8)),
         )
 
 
@@ -123,7 +125,7 @@ def _bilinear_packed_t(packed, h, w, u, v):
     base = (v0 * w + u0).astype(jnp.int32)
 
     g = jnp.take_along_axis(packed, base[..., None], axis=1)
-    g = jnp.moveaxis(g, 1, 2).reshape(b, 4, c, n)
+    g = jnp.moveaxis(g, 1, 2).reshape(b, 4, c, n).astype(jnp.float32)
     # packed order: (v0,u0), (v0,u0+1), (v0+1,u0), (v0+1,u0+1)
     w22 = (1 - du) * (1 - dv)
     w21 = du * (1 - dv)
@@ -146,27 +148,42 @@ def _ray_cost(rays_packed, h, w, u, v, pts3d_norm_t):
     return cost, err, s[:, 3:6], s[:, 6:9]
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter",))
+@functools.partial(jax.jit, static_argnames=("max_iter", "table_f16"))
 def iter_proj(rays_with_grad_img, pts3d_norm, p_init, max_iter=10,
-              lambda_init=1e-8, cost_thresh=1e-6):
+              lambda_init=1e-8, cost_thresh=1e-6, table_f16=True):
     """Vectorized per-pixel LM projection solve.
 
     rays_with_grad_img: (b, h, w, 9); pts3d_norm: (b, n, 3);
     p_init: (b, n, 2) float.  Returns (p_new (b, n, 2) float, converged
     (b, n) bool).  Mirrors matching_kernels.cu:119-275.
+
+    ``table_f16`` stores the corner-packed ray table as float16 (gathers
+    are byte-bound on TPU — halves the gathered bytes; all arithmetic is
+    f32 after the fetch, and f16's 10-bit mantissa keeps unit-ray
+    quantization (~5e-4) well inside the matcher's pixel tolerance).
     """
     b, h, w, _ = rays_with_grad_img.shape
-    flat = _pack_corners(rays_with_grad_img.reshape(b, h * w, 9), w)
+    table = rays_with_grad_img.reshape(b, h * w, 9)
+    if table_f16:
+        table = table.astype(jnp.float16)
+    flat = _pack_corners(table, w)
     pts3d_norm_t = jnp.moveaxis(pts3d_norm, 1, 2)       # (b, 3, n)
 
     u = jnp.clip(p_init[..., 0], 1.0, w - 2.0)
     v = jnp.clip(p_init[..., 1], 1.0, h - 2.0)
     lam = jnp.full_like(u, lambda_init)
-    conv = jnp.zeros(u.shape, dtype=bool)
+
+    # Gathers are the cost on TPU (row-count-bound): the LM loop carries the
+    # sampled (cost, err, gx, gy) at the CURRENT iterate in its state so each
+    # iteration gathers ONLY at the trial point — 1 + max_iter gathers total
+    # instead of 2*max_iter, with an iterate sequence identical to the
+    # reference's evaluate/propose/accept schedule (matching_kernels.cu:
+    # 190-258: J is only consumed at accepted positions, and a rejected step
+    # re-evaluates the same position, which the carried state makes free).
+    cost, err, gx, gy = _ray_cost(flat, h, w, u, v, pts3d_norm_t)
 
     def body(_, state):
-        u, v, lam, conv = state
-        cost, err, gx, gy = _ray_cost(flat, h, w, u, v, pts3d_norm_t)
+        u, v, cost, err, gx, gy, lam = state
 
         # Normal equations of the 2-dof system (J = [gx gy]); channel
         # reductions over axis 1, point axis stays in lanes
@@ -183,37 +200,50 @@ def iter_proj(rays_with_grad_img, pts3d_norm, p_init, max_iter=10,
 
         u_new = jnp.clip(u + du_, 1.0, w - 2.0)
         v_new = jnp.clip(v + dv_, 1.0, h - 2.0)
-        new_cost, _, _, _ = _ray_cost(flat, h, w, u_new, v_new,
-                                      pts3d_norm_t)
+        new_cost, new_err, new_gx, new_gy = _ray_cost(
+            flat, h, w, u_new, v_new, pts3d_norm_t
+        )
 
         accept = new_cost < cost
+        acc_c = accept[:, None, :]
         u = jnp.where(accept, u_new, u)
         v = jnp.where(accept, v_new, v)
+        cost = jnp.where(accept, new_cost, cost)
+        err = jnp.where(acc_c, new_err, err)
+        gx = jnp.where(acc_c, new_gx, gx)
+        gy = jnp.where(acc_c, new_gy, gy)
         lam = jnp.where(accept, lam * 0.1, lam * 10.0)
-        conv = jnp.where(accept, new_cost < cost_thresh, cost < cost_thresh)
-        return u, v, lam, conv
+        return u, v, cost, err, gx, gy, lam
 
-    u, v, lam, conv = jax.lax.fori_loop(0, max_iter, body, (u, v, lam, conv))
+    u, v, cost, err, gx, gy, lam = jax.lax.fori_loop(
+        0, max_iter, body, (u, v, cost, err, gx, gy, lam)
+    )
+    conv = cost < cost_thresh
     return jnp.stack([u, v], axis=-1), conv
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "dilation_max", "chunk")
+    jax.jit, static_argnames=("radius", "dilation_max", "u_pack")
 )
-def refine_matches(D11, D21, p1, radius=3, dilation_max=5, chunk=16384):
+def refine_matches(D11, D21, p1, radius=3, dilation_max=5, u_pack=2):
     """Coarse-to-fine dilated window argmax of descriptor dot products.
 
     D11: (b, h, w, f) descriptor image; D21: (b, n, f) query descriptors;
     p1: (b, n, 2) int pixel guesses.  Mirrors matching_kernels.cu:26-81
     including probe order (u-major) and first-maximum tie-breaking.
 
-    TPU formulation: gathers are ROW-COUNT-bound on TPU (~90 Mrows/s
-    regardless of row width), so per dilation the whole (2r+1)^2 window is
-    PRE-PACKED into wide rows with dense rolls (full-bandwidth HBM work)
-    and fetched with ONE gather per query, then scored with a single MXU
-    contraction + argmax.  This replaces the reference's 49-probe inner
-    loop per dilation (one probe per CUDA thread step) with one gather +
-    one matmul — about 30x fewer gather rows than the naive formulation.
+    TPU formulation: XLA TPU gathers are row-count-bound for narrow rows
+    (~4.4 ns/row) and BYTE-bound at ~24.5 GB/s once rows exceed ~150 B
+    (measured on v5e through bench_matcher.py), so per dilation the whole
+    (2r+1)^2 window is PRE-PACKED into wide rows with dense rolls
+    (full-bandwidth HBM work) and fetched with few gathers per query, then
+    scored with one MXU contraction + argmax.  This replaces the
+    reference's 49-probe inner loop per dilation (one probe per CUDA
+    thread step).  At packed widths the gather is purely byte-bound, so
+    the biggest lever is the table element size: int8 descriptor tables
+    (pass int8 D11/D21; the window argmax is invariant to the global
+    quantization scale, so no dequantization appears anywhere) halve the
+    gathered bytes vs bf16 and quarter them vs fp32.
     """
     b, h, w, f = D11.shape
     n = p1.shape[1]
@@ -222,6 +252,8 @@ def refine_matches(D11, D21, p1, radius=3, dilation_max=5, chunk=16384):
     D21c = D21.astype(D11.dtype)
     k_side = 2 * radius + 1
     K = k_side * k_side
+    integer_desc = jnp.issubdtype(D11.dtype, jnp.integer)
+    neg_inf = jnp.int32(-(2 ** 30)) if integer_desc else -jnp.inf
 
     uv0 = p1.astype(jnp.int32)
 
@@ -232,46 +264,68 @@ def refine_matches(D11, D21, p1, radius=3, dilation_max=5, chunk=16384):
                 for i in range(k_side) for j in range(k_side)]
         off_arr = jnp.asarray(offs, jnp.int32)            # (K, 2)
         # Probe-packed table row m = [D11[m + lin(o)] for o in offs],
-        # built SEPARABLY (u-shifts then v-shifts: 2*k_side rolls instead
-        # of k_side^2 — same bytes, far smaller XLA graph).
+        # built SEPARABLY (u-shifts then v-shifts: k_side + u_pack rolls
+        # instead of k_side^2 — same bytes, far smaller XLA graph).
         # v-offsets pre-packed into one wide row (k_side rolls, dense HBM
-        # work); the k_side u-offsets are k_side gathers of 168-wide rows.
-        # (A single 1176-wide probe pack would need only ONE gather per
-        # dilation but reproducibly blows the TPU executable past the
-        # 2 GiB serialization limit — empirical backend constraint.)
+        # work), then u_pack u-offsets packed on top so each gathered row
+        # covers u_pack whole probe columns: ceil(k_side/u_pack) gathers
+        # per dilation.  Gathers are ROW-count-bound, so wider rows are
+        # ~free until ~1-2 KB/row.  (A single 1176-wide all-probe pack
+        # would need only ONE gather per dilation but reproducibly blows
+        # the TPU executable past the 2 GiB serialization limit —
+        # empirical backend constraint; u_pack=2 → 672 B rows stays well
+        # inside both limits.)
         # Scoring runs lanes-last: n-batched tiny einsums lower to
         # per-batch ops; the (b, k, f, n) elementwise reduce does not.
         v_pack = jnp.concatenate(
             [jnp.roll(flat, (rd - j * d) * w, axis=1)
              for j in range(k_side)], axis=-1,
         )                                                  # (b, hw, k_side*f)
+        P = max(1, min(u_pack, k_side))
+        if P > 1:
+            uv_pack = jnp.concatenate(
+                [jnp.roll(v_pack, -p * d, axis=1) for p in range(P)],
+                axis=-1,
+            )                                              # (b, hw, P*k_side*f)
+        else:
+            uv_pack = v_pack
 
         u0 = uv0[..., 0]
         v0 = uv0[..., 1]
         base = v0 * w + u0
         q_t = jnp.moveaxis(D21c, 1, 2)[:, None]            # (b, 1, f, n)
         score_blocks = []
-        for i in range(k_side):
-            du = i * d - rd
-            idx = jnp.clip(base + du, 0, hw - 1)
+        for i0 in range(0, k_side, P):
+            du = i0 * d - rd
+            # modular wrap (NOT clip): matches jnp.roll's wraparound so a
+            # packed column p reads exactly row (base+du+p*d) mod hw; any
+            # wrapped read has its probe outside the image and is killed
+            # by the `inside` mask below
+            idx = jnp.mod(base + du, hw)
             cand = jnp.take_along_axis(
-                v_pack, idx[..., None], axis=1
-            )                                              # (b, n, k_side*f)
-            cand_t = jnp.moveaxis(cand, 1, 2).reshape(b, k_side, f, n)
-            score_blocks.append(jnp.sum(
-                (cand_t * q_t).astype(jnp.float32), axis=2
-            ))                                             # (b, k_side, n)
+                uv_pack, idx[..., None], axis=1
+            )                                              # (b, n, P*k_side*f)
+            cand_t = jnp.moveaxis(cand, 1, 2).reshape(b, P * k_side, f, n)
+            if integer_desc:
+                blk = jnp.sum(
+                    cand_t.astype(jnp.int32) * q_t.astype(jnp.int32), axis=2
+                )
+            else:
+                blk = jnp.sum((cand_t * q_t).astype(jnp.float32), axis=2)
+            # last group may carry spurious u-columns beyond k_side
+            n_cols = min(P, k_side - i0)
+            score_blocks.append(blk[:, : n_cols * k_side])  # (b, n_cols*k_side, n)
         score = jnp.concatenate(score_blocks, axis=1)      # (b, K, n)
 
         uu = off_arr[None, :, 0:1] + u0[:, None, :]        # (b, K, n)
         vv = off_arr[None, :, 1:2] + v0[:, None, :]
         inside = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
-        score = jnp.where(inside, score, -jnp.inf)
+        score = jnp.where(inside, score, neg_inf)
         # first-maximum = reference's strictly-greater update order;
         # center keeps position when all scores <= 0 (float-min init)
         kbest = jnp.argmax(score, axis=1)                  # (b, n)
         sbest = jnp.take_along_axis(score, kbest[:, None, :], axis=1)[:, 0]
-        keep_center = sbest <= 0.0
+        keep_center = sbest <= 0
         ub = jnp.where(
             keep_center, u0,
             jnp.take_along_axis(uu, kbest[:, None, :], axis=1)[:, 0],
@@ -314,8 +368,21 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
 
     if cfg.radius > 0:
         D21_flat = D21.reshape(b, h * w, -1)
+        if cfg.desc_bits == 8:
+            # symmetric global-scale int8: the window argmax is invariant
+            # to any positive per-side scale, so no dequant is needed and
+            # the gathered table bytes halve vs bf16 (gathers are
+            # byte-bound — see refine_matches docstring)
+            def q8(D):
+                s = 127.0 / jnp.maximum(jnp.max(jnp.abs(D)), 1e-12)
+                return jnp.clip(jnp.round(D * s), -127, 127).astype(jnp.int8)
+
+            D11_r, D21_r = q8(D11), q8(D21_flat)
+        else:
+            D11_r = D11.astype(jnp.bfloat16)
+            D21_r = D21_flat.astype(jnp.bfloat16)
         p1 = refine_matches(
-            D11.astype(jnp.bfloat16), D21_flat.astype(jnp.bfloat16), p1,
+            D11_r, D21_r, p1,
             radius=cfg.radius, dilation_max=cfg.dilation_max,
         )
 

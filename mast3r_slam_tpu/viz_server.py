@@ -1,0 +1,298 @@
+"""Live map viewer: in-process HTTP server + WebGL browser client.
+
+Capability counterpart of the reference's interactive visualization process
+(`/root/reference/mast3r_slam/visualization.py`): live point-cloud/surfel
+view of the keyframe map, camera frusta, factor-graph edge lines, and the
+control channel back into the pipeline — pause/unpause, single-step, and
+the confidence-threshold slider (``WindowMsg``, visualization.py:33-38,
+331-332).  The reference runs a ModernGL/imgui GUI in a separate spawned
+process talking over multiprocessing queues; a TPU deployment is headless,
+so here the viewer is a browser page served by a daemon thread inside the
+single SLAM program (zero extra dependencies, zero egress — localhost
+only), and the "queue" is an HTTP control endpoint.
+
+Usage:
+    viewer = LiveViewer(port=8089)
+    ...
+    viewer.publish(arena, edges_ii, edges_jj, stats)   # cheap, rate-limit outside
+    msg = viewer.get_msg()       # WindowMsg parity: pause / next / conf
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import threading
+from dataclasses import dataclass
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+@dataclass
+class WindowMsg:
+    """Control state mirrored from the reference WindowMsg
+    (visualization.py:33-38)."""
+
+    is_paused: bool = False
+    next: int = 0                     # pending single-step count
+    C_conf_threshold: float = 1.5
+
+
+class LiveViewer:
+    def __init__(self, host: str = "127.0.0.1", port: int = 8089,
+                 max_points: int = 400_000):
+        self.max_points = max_points
+        self._lock = threading.Lock()
+        self._blob = b""
+        self._meta = {"version": 0, "npts": 0, "nkf": 0, "nfr": 0,
+                      "nedge": 0, "stats": {}}
+        self._msg = WindowMsg()
+        self._msg_dirty = False
+
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence request logging
+                pass
+
+            def _send(self, code, body, ctype):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                if u.path == "/":
+                    self._send(200, _PAGE.encode(), "text/html")
+                elif u.path == "/meta":
+                    with viewer._lock:
+                        body = json.dumps(viewer._meta).encode()
+                    self._send(200, body, "application/json")
+                elif u.path == "/cloud":
+                    with viewer._lock:
+                        body = viewer._blob
+                    self._send(200, body, "application/octet-stream")
+                elif u.path == "/ctrl":
+                    q = parse_qs(u.query)
+                    with viewer._lock:
+                        if "pause" in q:
+                            viewer._msg.is_paused = q["pause"][0] == "1"
+                        if "step" in q:
+                            viewer._msg.next += 1
+                        if "conf" in q:
+                            viewer._msg.C_conf_threshold = float(
+                                q["conf"][0]
+                            )
+                        viewer._msg_dirty = True
+                    self._send(200, b"ok", "text/plain")
+                else:
+                    self._send(404, b"not found", "text/plain")
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+
+    def get_msg(self) -> WindowMsg:
+        """Current control state; `next` is consumed by the caller via
+        consume_step()."""
+        with self._lock:
+            return WindowMsg(self._msg.is_paused, self._msg.next,
+                             self._msg.C_conf_threshold)
+
+    def consume_step(self):
+        with self._lock:
+            if self._msg.next > 0:
+                self._msg.next -= 1
+
+    def publish(self, arena, edges_ii=None, edges_jj=None, stats=None):
+        """Snapshot the map into the serving buffer.  Host-side numpy only;
+        call it off the frame critical path (e.g. on new keyframes)."""
+        from .viz import _frusta, _world_cloud
+
+        msg = self.get_msg()
+        pts, cols = _world_cloud(arena, msg.C_conf_threshold,
+                                 self.max_points)
+        frusta = _frusta(arena)
+        n = int(arena.n_size)
+
+        # factor-graph edge lines between keyframe centers
+        # (visualization.py:173-188)
+        esegs = np.zeros((0, 2, 3), np.float32)
+        if edges_ii is not None and len(edges_ii):
+            T = np.asarray(arena.T_WC)[:n]
+            centers = T[:, :3]
+            ii = np.clip(np.asarray(edges_ii), 0, n - 1)
+            jj = np.clip(np.asarray(edges_jj), 0, n - 1)
+            esegs = np.stack([centers[ii], centers[jj]], axis=1)
+
+        pts32 = np.ascontiguousarray(pts, np.float32)
+        cols8 = (np.clip(np.asarray(cols), 0, 1) * 255).astype(np.uint8)
+        pad = (-len(pts32) * 3) % 4
+        fr32 = np.ascontiguousarray(frusta, np.float32)
+        es32 = np.ascontiguousarray(esegs, np.float32)
+        blob = (pts32.tobytes() + cols8.tobytes() + b"\0" * pad
+                + fr32.tobytes() + es32.tobytes())
+        header = struct.pack("<4I", len(pts32), len(fr32), len(es32), pad)
+        with self._lock:
+            self._blob = header + blob
+            self._meta = {
+                "version": self._meta["version"] + 1,
+                "npts": len(pts32), "nkf": n, "nfr": len(fr32),
+                "nedge": len(es32),
+                "stats": dict(stats or {}),
+                "conf": msg.C_conf_threshold,
+            }
+
+    def close(self):
+        self._server.shutdown()
+        self._thread.join(timeout=2)
+
+
+_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>SLAM live</title><style>
+body{margin:0;background:#111;color:#ddd;font-family:monospace}
+canvas{display:block}#hud{position:fixed;top:8px;left:8px;background:#0009;
+padding:8px;border-radius:6px}button{margin-right:6px}
+</style></head><body>
+<div id="hud">
+ <button id="pause">pause</button><button id="step">step</button>
+ conf <input id="conf" type="range" min="0" max="10" step="0.1" value="1.5">
+ <span id="confv">1.5</span><div id="stats">connecting...</div>
+</div>
+<canvas id="c"></canvas>
+<script>
+const canvas=document.getElementById('c');
+const gl=canvas.getContext('webgl');
+const vs=`attribute vec3 p;attribute vec3 c;uniform mat4 mvp;
+uniform float ps;varying vec3 vc;void main(){gl_Position=mvp*vec4(p,1.0);
+gl_PointSize=ps;vc=c;}`;
+const fs=`precision mediump float;varying vec3 vc;
+void main(){gl_FragColor=vec4(vc,1.0);}`;
+function sh(t,s){const o=gl.createShader(t);gl.shaderSource(o,s);
+gl.compileShader(o);return o;}
+const prog=gl.createProgram();
+gl.attachShader(prog,sh(gl.VERTEX_SHADER,vs));
+gl.attachShader(prog,sh(gl.FRAGMENT_SHADER,fs));
+gl.linkProgram(prog);gl.useProgram(prog);
+const pl=gl.getAttribLocation(prog,'p');
+const cl=gl.getAttribLocation(prog,'c');
+const mvpLoc=gl.getUniformLocation(prog,'mvp');
+const psLoc=gl.getUniformLocation(prog,'ps');
+const pbuf=gl.createBuffer(),cbuf=gl.createBuffer();
+const lbuf=gl.createBuffer(),lcbuf=gl.createBuffer();
+let npts=0,nlines=0,version=-1,ctr=[0,0,0],dist=5;
+let rx=0.5,ry=-0.8;
+async function refresh(){
+ try{
+  const meta=await (await fetch('/meta')).json();
+  document.getElementById('stats').textContent=
+   `kf ${meta.nkf} | pts ${meta.npts} | `+
+   Object.entries(meta.stats).map(([k,v])=>k+':'+v).join(' ');
+  if(meta.version===version)return;
+  version=meta.version;
+  const buf=await (await fetch('/cloud')).arrayBuffer();
+  const hdr=new Uint32Array(buf,0,4);
+  const np_=hdr[0],nfr=hdr[1],ned=hdr[2],pad=hdr[3];
+  let off=16;
+  const pts=new Float32Array(buf,off,np_*3);off+=np_*12;
+  const cols=new Uint8Array(buf,off,np_*3);off+=np_*3+pad;
+  const fr=new Float32Array(buf,off,nfr*6);off+=nfr*24;
+  const ed=new Float32Array(buf,off,ned*6);
+  npts=np_;
+  gl.bindBuffer(gl.ARRAY_BUFFER,pbuf);
+  gl.bufferData(gl.ARRAY_BUFFER,pts,gl.DYNAMIC_DRAW);
+  gl.bindBuffer(gl.ARRAY_BUFFER,cbuf);
+  gl.bufferData(gl.ARRAY_BUFFER,cols,gl.DYNAMIC_DRAW);
+  // lines: frusta (yellow) then graph edges (cyan)
+  nlines=(nfr+ned)*2;
+  const lp=new Float32Array(nlines*3),lc=new Uint8Array(nlines*3);
+  lp.set(fr,0);lp.set(ed,nfr*6);
+  for(let i=0;i<nfr*2;i++){lc[i*3]=255;lc[i*3+1]=220;lc[i*3+2]=0;}
+  for(let i=nfr*2;i<nlines;i++){lc[i*3]=0;lc[i*3+1]=255;lc[i*3+2]=255;}
+  gl.bindBuffer(gl.ARRAY_BUFFER,lbuf);
+  gl.bufferData(gl.ARRAY_BUFFER,lp,gl.DYNAMIC_DRAW);
+  gl.bindBuffer(gl.ARRAY_BUFFER,lcbuf);
+  gl.bufferData(gl.ARRAY_BUFFER,lc,gl.DYNAMIC_DRAW);
+  if(npts>0&&version<=2){
+   let cx=0,cy=0,cz=0;
+   for(let i=0;i<npts;i++){cx+=pts[i*3];cy+=pts[i*3+1];cz+=pts[i*3+2];}
+   ctr=[cx/npts,cy/npts,cz/npts];
+   let m=0;for(let i=0;i<npts;i++){
+    m=Math.max(m,Math.hypot(pts[i*3]-ctr[0],pts[i*3+1]-ctr[1],
+     pts[i*3+2]-ctr[2]));}
+   dist=m*2.0+0.5;
+  }
+ }catch(e){}
+}
+setInterval(refresh,500);refresh();
+function mat(){
+ const cx=Math.cos(rx),sx=Math.sin(rx),cy=Math.cos(ry),sy=Math.sin(ry);
+ const a=canvas.width/canvas.height,f=1.5,n=0.01*dist,fa=100*dist;
+ const R=[[cy,0,sy],[sx*sy,cx,-sx*cy],[-cx*sy,sx,cx*cy]];
+ const m=new Float32Array(16);
+ for(let i=0;i<3;i++){m[i*4]=R[0][i];m[i*4+1]=R[1][i];m[i*4+2]=R[2][i];}
+ let t=[0,0,0];
+ for(let i=0;i<3;i++){t[i]=-(R[i][0]*ctr[0]+R[i][1]*ctr[1]+R[i][2]*ctr[2]);}
+ t[2]-=dist;
+ const P=[f/a,0,0,0, 0,f,0,0, 0,0,(fa+n)/(n-fa),-1, 0,0,2*fa*n/(n-fa),0];
+ const out=new Float32Array(16);
+ for(let r2=0;r2<4;r2++)for(let c2=0;c2<4;c2++){let s=0;
+  for(let k=0;k<4;k++){
+   const mv=(k<3)?((r2<3)?m[k*4+r2]:0):((r2<3)?t[r2]:1);
+   s+=P[c2*4+k]*mv;}
+  out[c2*4+r2]=s;}
+ return out;}
+function draw(){
+ canvas.width=innerWidth;canvas.height=innerHeight;
+ gl.viewport(0,0,canvas.width,canvas.height);
+ gl.clearColor(0.06,0.06,0.08,1);gl.clear(gl.COLOR_BUFFER_BIT);
+ const M=mat();
+ gl.uniformMatrix4fv(mvpLoc,false,M);
+ if(npts>0){
+  gl.uniform1f(psLoc,1.5);
+  gl.bindBuffer(gl.ARRAY_BUFFER,pbuf);
+  gl.enableVertexAttribArray(pl);
+  gl.vertexAttribPointer(pl,3,gl.FLOAT,false,0,0);
+  gl.bindBuffer(gl.ARRAY_BUFFER,cbuf);
+  gl.enableVertexAttribArray(cl);
+  gl.vertexAttribPointer(cl,3,gl.UNSIGNED_BYTE,true,0,0);
+  gl.drawArrays(gl.POINTS,0,npts);
+ }
+ if(nlines>0){
+  gl.bindBuffer(gl.ARRAY_BUFFER,lbuf);
+  gl.vertexAttribPointer(pl,3,gl.FLOAT,false,0,0);
+  gl.bindBuffer(gl.ARRAY_BUFFER,lcbuf);
+  gl.vertexAttribPointer(cl,3,gl.UNSIGNED_BYTE,true,0,0);
+  gl.drawArrays(gl.LINES,0,nlines);
+ }
+ requestAnimationFrame(draw);}
+let drag=false,lx=0,ly=0;
+canvas.onmousedown=e=>{drag=true;lx=e.clientX;ly=e.clientY;};
+window.onmouseup=()=>drag=false;
+window.onmousemove=e=>{if(!drag)return;
+ ry+=(e.clientX-lx)*0.005;rx+=(e.clientY-ly)*0.005;
+ lx=e.clientX;ly=e.clientY;};
+canvas.onwheel=e=>{dist*=Math.exp(e.deltaY*0.001);e.preventDefault();};
+let paused=false;
+document.getElementById('pause').onclick=async()=>{
+ paused=!paused;
+ document.getElementById('pause').textContent=paused?'resume':'pause';
+ await fetch('/ctrl?pause='+(paused?1:0));};
+document.getElementById('step').onclick=()=>fetch('/ctrl?step=1');
+const conf=document.getElementById('conf');
+conf.oninput=()=>{
+ document.getElementById('confv').textContent=conf.value;
+ fetch('/ctrl?conf='+conf.value);};
+draw();
+</script></body></html>
+"""

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Per-stage TPU latency breakdown of the frontend frame budget.
+
+Times, with the relay-proof chain methodology (see bench.py):
+  * encoder           (ViT-L, 768 tokens)
+  * decoder+heads     (asymmetric two-view decode incl. DPT + catMLP)
+  * matcher           (iter_proj + refine, production resolution)
+  * GN pose solve     (50 iterations, both residual flavors)
+
+Usage: python scripts/bench_stages.py [stage ...]
+  stages: enc dec match gn   (default: all)
+Env: CHAIN (default 6), SMALL=1 for tiny-model smoke.
+"""
+
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timed_chain(step, init_carry, readback, n, label):
+    def chained(k):
+        @jax.jit
+        def f(carry):
+            carry = jax.lax.fori_loop(0, k, lambda i, c: step(c), carry)
+            return readback(carry)
+        return f
+
+    f1, fN = chained(1), chained(n)
+    t0 = time.time()
+    float(f1(init_carry))
+    log(f"  {label}: compiled in {time.time() - t0:.1f}s")
+    float(fN(init_carry))
+    t0 = time.time(); float(f1(init_carry)); t1 = time.time() - t0
+    t0 = time.time(); float(fN(init_carry)); tN = time.time() - t0
+    ms = (tN - t1) / (n - 1) * 1e3
+    log(f"  {label}: {ms:.2f} ms/step")
+    print(f"{label}_ms {ms:.2f}", flush=True)
+    return ms
+
+
+def main():
+    cache = pathlib.Path(".jax_cache"); cache.mkdir(exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+    except Exception:
+        pass
+
+    from mast3r_slam_tpu.inference import InferenceEngine
+    from mast3r_slam_tpu.models.mast3r import MASt3R, MASt3RConfig
+    from mast3r_slam_tpu.ops import geometry, lie_sim3 as sim3, matching
+    from mast3r_slam_tpu import tracker as trk
+
+    small = os.environ.get("SMALL") == "1"
+    n_chain = int(os.environ.get("CHAIN", "6"))
+    stages = sys.argv[1:] or ["enc", "dec", "match", "gn"]
+
+    if small:
+        cfg = MASt3RConfig.tiny(); h, w = 96, 128
+    else:
+        cfg = MASt3RConfig.vit_large(); h, w = 384, 512
+    hw = h * w
+    log(f"devices={jax.devices()} res={h}x{w} chain={n_chain} stages={stages}")
+
+    model = MASt3R(cfg)
+    init_img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), init_img, init_img)
+    engine = InferenceEngine(model, params, (h, w))
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, h, w, 3), jnp.float32)
+
+    if "enc" in stages:
+        def enc_step(c):
+            feat, pos = model.apply(params, c, method=MASt3R.encode)
+            return c + 1e-12 * jnp.mean(feat)
+        timed_chain(enc_step, img, lambda c: c[0, 0, 0, 0], n_chain, "encoder")
+
+    if "int8" in stages:
+        from mast3r_slam_tpu.models.quant import (
+            encode_int8, quantize_encoder_params,
+        )
+        qparams = quantize_encoder_params(params)
+
+        def enc8_step(c):
+            feat, pos = encode_int8(params, qparams, c, cfg)
+            return c + 1e-12 * jnp.mean(feat)
+        timed_chain(enc8_step, img, lambda c: c[0, 0, 0, 0], n_chain,
+                    "encoder_int8")
+
+    feat, pos = engine.encode(img)
+
+    if "dec" in stages:
+        def dec_step(c):
+            f1, f2 = c
+            (X, C, D, Q), _ = engine.decode_pair(f1, pos, f2, pos)
+            return (f1 + 1e-12 * X[0, 0, 0, 0], f2)
+        timed_chain(dec_step, (feat, feat + 0.01),
+                    lambda c: c[0][0, 0, 0], n_chain, "decode_asym")
+
+    if "match" in stages:
+        X = jax.random.normal(jax.random.PRNGKey(2), (1, h, w, 3)) \
+            + jnp.asarray([0, 0, 3.0])
+        D = jax.random.normal(jax.random.PRNGKey(3), (1, h, w, 24),
+                              jnp.bfloat16)
+        def match_step(c):
+            idx, valid = matching.match(X + 1e-12 * c, X, D, D)
+            return c + 1e-12 * idx[0, 0]
+        timed_chain(match_step, jnp.zeros(()), lambda c: c, n_chain,
+                    "match_full")
+
+    if "gn" in stages:
+        key = jax.random.PRNGKey(4)
+        Xf = jax.random.normal(key, (hw, 3)) + jnp.asarray([0, 0, 3.0])
+        Qk = jnp.ones((hw, 1))
+        valid = jnp.ones((hw, 1), bool)
+        tcfg = trk.TrackerConfig(C_conf=-1e9, Q_conf=-1e9, rel_error=0.0,
+                                 delta_norm=0.0, max_iters=50)
+
+        def gn_step(c):
+            T, _ = trk.opt_pose_ray_dist_sim3(
+                Xf + 1e-12 * c[0], Xf, sim3.identity(), Qk, valid, tcfg)
+            return (c[0] + 1e-12 * T[0], c[1])
+        timed_chain(gn_step, (jnp.zeros(()), jnp.zeros(())),
+                    lambda c: c[0], n_chain, "gn_ray_50it")
+
+
+if __name__ == "__main__":
+    main()

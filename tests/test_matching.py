@@ -104,6 +104,64 @@ def test_match_asymmetric_valid_occlusion():
     assert float(valid.mean()) < 0.05
 
 
+def test_refine_u_pack_invariance():
+    """The u_pack row-packing factor is a pure layout optimization: results
+    must be identical for every packing width (incl. the spurious-column
+    masking of the last partial group)."""
+    h, w, f = 16, 20, 24
+    D = unique_descriptors(h, w, f)
+    D21 = D.reshape(1, h * w, f)
+    p_true = matching.lin_to_pixel(jnp.arange(h * w)[None], w).astype(jnp.int32)
+    rng = np.random.default_rng(7)
+    p_noisy = p_true + jnp.asarray(
+        rng.integers(-3, 4, size=p_true.shape), dtype=jnp.int32
+    )
+    p_noisy = jnp.clip(p_noisy, 0, jnp.asarray([w - 1, h - 1]))
+    outs = [
+        matching.refine_matches(
+            D.astype(jnp.bfloat16), D21.astype(jnp.bfloat16), p_noisy,
+            radius=3, dilation_max=5, u_pack=up,
+        )
+        for up in (1, 2, 4, 7)
+    ]
+    for o in outs[1:]:
+        np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(o))
+
+
+def test_refine_int8_matches_bf16():
+    """int8 descriptor tables (the TPU default: gathers are byte-bound)
+    must produce the same snapping behavior as bf16 on well-separated
+    descriptors, and the full match() int8 path must agree with the bf16
+    path almost everywhere."""
+    h, w, f = 16, 20, 24
+    D = unique_descriptors(h, w, f)
+    D21 = D.reshape(1, h * w, f)
+    p_true = matching.lin_to_pixel(jnp.arange(h * w)[None], w).astype(jnp.int32)
+    rng = np.random.default_rng(3)
+    p_noisy = p_true + jnp.asarray(
+        rng.integers(-2, 3, size=p_true.shape), dtype=jnp.int32
+    )
+    p_noisy = jnp.clip(p_noisy, 0, jnp.asarray([w - 1, h - 1]))
+
+    def q8(x):
+        s = 127.0 / jnp.maximum(jnp.max(jnp.abs(x)), 1e-12)
+        return jnp.clip(jnp.round(x * s), -127, 127).astype(jnp.int8)
+
+    p_ref = matching.refine_matches(q8(D), q8(D21), p_noisy,
+                                    radius=3, dilation_max=5)
+    exact = jnp.all(p_ref == p_true, axis=-1).reshape(h, w)
+    assert float(exact[3:-3, 3:-3].mean()) > 0.99
+
+    X = synthetic_pointmap(h, w)
+    idx8, valid8 = matching.match(
+        X, X, D, D, cfg=matching.MatchingConfig(desc_bits=8))
+    idx16, valid16 = matching.match(
+        X, X, D, D, cfg=matching.MatchingConfig(desc_bits=16))
+    agree = float(jnp.mean(idx8 == idx16))
+    assert agree > 0.99, agree
+    np.testing.assert_array_equal(np.asarray(valid8), np.asarray(valid16))
+
+
 def test_lin_pixel_roundtrip():
     w = 17
     idx = jnp.arange(0, 17 * 5)

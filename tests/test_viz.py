@@ -30,3 +30,58 @@ def test_snapshot_and_html(tmp_path):
     text = html.read_text()
     assert "webgl" in text and "drawArrays" in text
     assert html.stat().st_size > 10_000  # embedded point data present
+
+
+def test_live_viewer_serves_and_controls():
+    """LiveViewer: page + meta + binary cloud endpoints, and the WindowMsg
+    control channel (pause/step/conf) round-trips."""
+    import json
+    import struct
+    import urllib.request
+
+    from mast3r_slam_tpu.viz_server import LiveViewer
+
+    seq = SyntheticSequence(n_frames=6, h=32, w=48, seed=1, traj_scale=0.5)
+    cfg = load_config("config/eval_no_calib.yaml")
+    cfg["dataset"]["img_size"] = 48
+    system = SLAMSystem(cfg, OracleEngine(seq), (seq.h, seq.w), buffer=16)
+    for i in range(len(seq)):
+        system.process_frame(i, seq.images[i])
+    system.terminate()
+
+    viewer = LiveViewer(port=0)
+    try:
+        g = system.graph
+        ne = int(g.n_edges)
+        viewer.publish(system.arena, g.ii[:ne], g.jj[:ne],
+                       stats=system.stats)
+        base = f"http://127.0.0.1:{viewer.port}"
+
+        page = urllib.request.urlopen(f"{base}/").read().decode()
+        assert "webgl" in page and "/cloud" in page
+
+        meta = json.loads(urllib.request.urlopen(f"{base}/meta").read())
+        assert meta["version"] == 1 and meta["nkf"] >= 1
+        assert meta["npts"] > 0 and meta["nfr"] > 0
+
+        blob = urllib.request.urlopen(f"{base}/cloud").read()
+        npts, nfr, nedge, pad = struct.unpack("<4I", blob[:16])
+        assert npts == meta["npts"] and nfr == meta["nfr"]
+        expect = 16 + npts * 15 + pad + (nfr + nedge) * 24
+        assert len(blob) == expect
+
+        # control channel
+        urllib.request.urlopen(f"{base}/ctrl?pause=1&conf=2.5")
+        urllib.request.urlopen(f"{base}/ctrl?step=1")
+        msg = viewer.get_msg()
+        assert msg.is_paused and msg.next == 1
+        assert abs(msg.C_conf_threshold - 2.5) < 1e-6
+        viewer.consume_step()
+        assert viewer.get_msg().next == 0
+
+        # conf threshold feeds the next publish
+        viewer.publish(system.arena, stats=system.stats)
+        meta2 = json.loads(urllib.request.urlopen(f"{base}/meta").read())
+        assert meta2["version"] == 2 and meta2["conf"] == 2.5
+    finally:
+        viewer.close()
