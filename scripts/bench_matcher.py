@@ -88,19 +88,23 @@ def main():
     variants = [("bf16", D11, D21)] if os.environ.get("BF16") else []
     variants.append(("int8", q8(D11), q8(D21)))
 
+    qmajors = [True] if os.environ.get("QMAJOR_ONLY") else [True, False]
     for name, T11, T21 in variants:
         for up in u_packs:
-            def rf_step(carry, up=up, T11=T11, T21=T21):
-                p = matching.refine_matches(T11, T21, carry[0], radius=3,
-                                            dilation_max=5, u_pack=up)
-                # data dependence without drifting out of bounds
-                return (jnp.clip(p, 0, jnp.asarray([w - 1, h - 1])),
-                        carry[1])
+            for qm in qmajors:
+                def rf_step(carry, up=up, T11=T11, T21=T21, qm=qm):
+                    p = matching.refine_matches(T11, T21, carry[0], radius=3,
+                                                dilation_max=5, u_pack=up,
+                                                qmajor=qm)
+                    # data dependence without drifting out of bounds
+                    return (jnp.clip(p, 0, jnp.asarray([w - 1, h - 1])),
+                            carry[1])
 
-            ms = timed_chain(rf_step, (p0, jnp.zeros(())),
-                             lambda c: c[0][0, 0, 0].astype(jnp.float32),
-                             n_chain, f"refine {name} u_pack={up}")
-            print(f"refine_ms[{name},u_pack={up}] {ms:.2f}", flush=True)
+                tag = f"{name},u_pack={up},qmajor={qm}"
+                ms = timed_chain(rf_step, (p0, jnp.zeros(())),
+                                 lambda c: c[0][0, 0, 0].astype(jnp.float32),
+                                 n_chain, f"refine {tag}")
+                print(f"refine_ms[{tag}] {ms:.2f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -23,6 +23,22 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _isolate_global_config():
+    """The process-global config dict (utils/config.py) mirrors the
+    reference's module-global; snapshot/restore it so a test that calls
+    set_global_config cannot leak settings (e.g. dataset.subsample) into
+    later tests."""
+    import copy
+
+    from mast3r_slam_tpu.utils import config as cfg_mod
+
+    saved = copy.deepcopy(cfg_mod.config)
+    yield
+    cfg_mod.config.clear()
+    cfg_mod.config.update(saved)
+
+
 @pytest.fixture(scope="session")
 def rng():
     import numpy as np

@@ -128,6 +128,31 @@ def test_refine_u_pack_invariance():
         np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(o))
 
 
+def test_refine_layout_invariance():
+    """qmajor (queries-in-sublanes, transpose-free scoring) and the legacy
+    lanes-last layout are pure layout choices: bit-identical results on both
+    float and integer descriptor tables, including boundary masking and
+    first-maximum tie-breaking."""
+    h, w, f = 16, 20, 24
+    D = unique_descriptors(h, w, f)
+    D21 = D.reshape(1, h * w, f)
+    p_true = matching.lin_to_pixel(jnp.arange(h * w)[None], w).astype(jnp.int32)
+    rng = np.random.default_rng(11)
+    p_noisy = p_true + jnp.asarray(
+        rng.integers(-4, 5, size=p_true.shape), dtype=jnp.int32
+    )
+    p_noisy = jnp.clip(p_noisy, 0, jnp.asarray([w - 1, h - 1]))
+
+    def q8(x):
+        s = 127.0 / jnp.maximum(jnp.max(jnp.abs(x)), 1e-12)
+        return jnp.clip(jnp.round(x * s), -127, 127).astype(jnp.int8)
+
+    for T11, T21 in [(D, D21), (q8(D), q8(D21))]:
+        a = matching.refine_matches(T11, T21, p_noisy, qmajor=True)
+        b = matching.refine_matches(T11, T21, p_noisy, qmajor=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_refine_int8_matches_bf16():
     """int8 descriptor tables (the TPU default: gathers are byte-bound)
     must produce the same snapping behavior as bf16 on well-separated
