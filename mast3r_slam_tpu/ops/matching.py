@@ -38,6 +38,11 @@ class MatchingConfig(NamedTuple):
     radius: int = 3
     dilation_max: int = 5
     desc_bits: int = 8   # refine descriptor table precision: 8 (int8) | 16
+    # Table precision for dilations > 1: 8 | 4.  int4 nibble tables halve
+    # the gathered bytes but measure 2.4x SLOWER end-to-end on v5e (97 ms
+    # vs 40 ms; XLA's int8-gather + unpack pipeline does not fuse well),
+    # so 8 stays the default.  Kept as an option for future XLA versions.
+    coarse_bits: int = 8
 
     @classmethod
     def from_dict(cls, d: dict) -> "MatchingConfig":
@@ -49,6 +54,7 @@ class MatchingConfig(NamedTuple):
             radius=int(d["radius"]),
             dilation_max=int(d["dilation_max"]),
             desc_bits=int(d.get("desc_bits", 8)),
+            coarse_bits=int(d.get("coarse_bits", 8)),
         )
 
 
@@ -223,10 +229,12 @@ def iter_proj(rays_with_grad_img, pts3d_norm, p_init, max_iter=10,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "dilation_max", "u_pack", "qmajor")
+    jax.jit,
+    static_argnames=("radius", "dilation_max", "u_pack", "qmajor",
+                     "coarse_bits"),
 )
 def refine_matches(D11, D21, p1, radius=3, dilation_max=5, u_pack=2,
-                   qmajor=True):
+                   qmajor=True, coarse_bits=8):
     """Coarse-to-fine dilated window argmax of descriptor dot products.
 
     D11: (b, h, w, f) descriptor image; D21: (b, n, f) query descriptors;
@@ -256,9 +264,30 @@ def refine_matches(D11, D21, p1, radius=3, dilation_max=5, u_pack=2,
     integer_desc = jnp.issubdtype(D11.dtype, jnp.integer)
     neg_inf = jnp.int32(-(2 ** 30)) if integer_desc else -jnp.inf
 
+    # Gathered bytes are the binding cost of this kernel (see docstring).
+    # coarse_bits=4 nibble-packs the TABLE for all dilations > 1 (the final
+    # d=1 pass stays full int8), halving the coarse gather traffic.  Only
+    # the table is quantized — queries keep full int8 precision — and the
+    # window argmax is invariant to the 16x table scale, so this is an
+    # asymmetric-precision score, not a rescale.
+    use_int4 = coarse_bits == 4 and integer_desc and dilation_max > 1 \
+        and qmajor
+    if use_int4:
+        fe = f + (f % 2)
+        pad = jnp.pad(flat, ((0, 0), (0, 0), (0, fe - f)))
+        q4 = jnp.round(pad.astype(jnp.float32) * (7.0 / 127.0)) \
+            .astype(jnp.int8)
+        flat4 = ((q4[..., 1::2] << 4) | (q4[..., 0::2] & 15))  # (b,hw,fe/2)
+        q_pad = jnp.pad(D21c, ((0, 0), (0, 0), (0, fe - f))).astype(jnp.int32)
+        q_even = q_pad[..., 0::2]
+        q_odd = q_pad[..., 1::2]
+
     uv0 = p1.astype(jnp.int32)
 
     def per_dilation(uv0, d):
+        int4 = use_int4 and d > 1
+        tbl = flat4 if int4 else flat
+        fb = tbl.shape[-1]
         rd = radius * d
         # Offsets in reference probe order: i (u) outer, j (v) inner
         offs = [(-rd + i * d, -rd + j * d)
@@ -279,9 +308,9 @@ def refine_matches(D11, D21, p1, radius=3, dilation_max=5, u_pack=2,
         # Scoring runs lanes-last: n-batched tiny einsums lower to
         # per-batch ops; the (b, k, f, n) elementwise reduce does not.
         v_pack = jnp.concatenate(
-            [jnp.roll(flat, (rd - j * d) * w, axis=1)
+            [jnp.roll(tbl, (rd - j * d) * w, axis=1)
              for j in range(k_side)], axis=-1,
-        )                                                  # (b, hw, k_side*f)
+        )                                                  # (b, hw, k_side*fb)
         P = max(1, min(u_pack, k_side))
         if P > 1:
             uv_pack = jnp.concatenate(
@@ -313,9 +342,19 @@ def refine_matches(D11, D21, p1, radius=3, dilation_max=5, u_pack=2,
                 idx = jnp.mod(base + du, hw)
                 cand = jnp.take_along_axis(
                     uv_pack, idx[..., None], axis=1
-                )                                          # (b, n, P*k_side*f)
-                candr = cand.reshape(b, n, P * k_side, f)
-                if integer_desc:
+                )                                          # (b, n, P*k_side*fb)
+                candr = cand.reshape(b, n, P * k_side, fb)
+                if int4:
+                    # unpack AFTER widening: int8 bit ops lower poorly on
+                    # the VPU (sub-word shifts), int32 ones are native
+                    c32 = candr.astype(jnp.int32)
+                    lo = ((c32 & 15) ^ 8) - 8
+                    hi = c32 >> 4
+                    blk = jnp.sum(
+                        lo * q_even[:, :, None, :] + hi * q_odd[:, :, None, :],
+                        axis=-1,
+                    )                                      # (b, n, P*k_side)
+                elif integer_desc:
                     blk = jnp.sum(
                         candr.astype(jnp.int32) * q32[:, :, None, :], axis=-1
                     )                                      # (b, n, P*k_side)
@@ -440,6 +479,7 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
         p1 = refine_matches(
             D11_r, D21_r, p1,
             radius=cfg.radius, dilation_max=cfg.dilation_max,
+            coarse_bits=cfg.coarse_bits,
         )
 
     idx_1_to_2 = pixel_to_lin(p1, w)

@@ -89,13 +89,14 @@ def main():
     variants.append(("int8", q8(D11), q8(D21)))
 
     qmajors = [True] if os.environ.get("QMAJOR_ONLY") else [True, False]
+    cb = int(os.environ.get("COARSE_BITS", "8"))
     for name, T11, T21 in variants:
         for up in u_packs:
             for qm in qmajors:
                 def rf_step(carry, up=up, T11=T11, T21=T21, qm=qm):
                     p = matching.refine_matches(T11, T21, carry[0], radius=3,
                                                 dilation_max=5, u_pack=up,
-                                                qmajor=qm)
+                                                qmajor=qm, coarse_bits=cb)
                     # data dependence without drifting out of bounds
                     return (jnp.clip(p, 0, jnp.asarray([w - 1, h - 1])),
                             carry[1])

@@ -153,6 +153,34 @@ def test_refine_layout_invariance():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_refine_int4_coarse_dilations():
+    """coarse_bits=4 nibble-packs the descriptor table for dilations > 1
+    (halving the binding gather-byte cost on TPU) while the final d=1 pass
+    stays int8.  On well-separated descriptors the coarse walk must still
+    deliver the exact match, and agreement with the full-int8 path must be
+    near-total."""
+    h, w, f = 32, 40, 24
+    D = unique_descriptors(h, w, f)
+    D21 = D.reshape(1, h * w, f)
+    p_true = matching.lin_to_pixel(jnp.arange(h * w)[None], w).astype(jnp.int32)
+    rng = np.random.default_rng(3)
+    p_noisy = jnp.clip(
+        p_true + jnp.asarray(rng.integers(-8, 9, size=p_true.shape),
+                             jnp.int32),
+        0, jnp.asarray([w - 1, h - 1]),
+    )
+
+    def q8(x):
+        s = 127.0 / jnp.maximum(jnp.max(jnp.abs(x)), 1e-12)
+        return jnp.clip(jnp.round(x * s), -127, 127).astype(jnp.int8)
+
+    p8 = matching.refine_matches(q8(D), q8(D21), p_noisy, coarse_bits=8)
+    p4 = matching.refine_matches(q8(D), q8(D21), p_noisy, coarse_bits=4)
+    exact4 = jnp.all(p4 == p_true, -1).reshape(h, w)[4:-4, 4:-4]
+    assert float(exact4.mean()) == 1.0
+    assert float(jnp.all(p8 == p4, -1).mean()) > 0.98
+
+
 def test_refine_int8_matches_bf16():
     """int8 descriptor tables (the TPU default: gathers are byte-bound)
     must produce the same snapping behavior as bf16 on well-separated
