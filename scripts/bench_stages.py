@@ -27,21 +27,25 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed_chain(step, init_carry, readback, n, label):
+def timed_chain(step, init_carry, readback, n, label, const=None):
+    """const: large device pytrees (e.g. params) passed as jit ARGUMENTS —
+    closing over them would inline them as constants into the remote
+    compile request (HTTP 413 past ~a few hundred MB)."""
     def chained(k):
         @jax.jit
-        def f(carry):
-            carry = jax.lax.fori_loop(0, k, lambda i, c: step(c), carry)
+        def f(const, carry):
+            carry = jax.lax.fori_loop(
+                0, k, lambda i, c: step(const, c), carry)
             return readback(carry)
         return f
 
     f1, fN = chained(1), chained(n)
     t0 = time.time()
-    float(f1(init_carry))
+    float(f1(const, init_carry))
     log(f"  {label}: compiled in {time.time() - t0:.1f}s")
-    float(fN(init_carry))
-    t0 = time.time(); float(f1(init_carry)); t1 = time.time() - t0
-    t0 = time.time(); float(fN(init_carry)); tN = time.time() - t0
+    float(fN(const, init_carry))
+    t0 = time.time(); float(f1(const, init_carry)); t1 = time.time() - t0
+    t0 = time.time(); float(fN(const, init_carry)); tN = time.time() - t0
     ms = (tN - t1) / (n - 1) * 1e3
     log(f"  {label}: {ms:.2f} ms/step")
     print(f"{label}_ms {ms:.2f}", flush=True)
@@ -78,10 +82,11 @@ def main():
     img = jax.random.normal(jax.random.PRNGKey(1), (1, h, w, 3), jnp.float32)
 
     if "enc" in stages:
-        def enc_step(c):
-            feat, pos = model.apply(params, c, method=MASt3R.encode)
+        def enc_step(p, c):
+            feat, pos = model.apply(p, c, method=MASt3R.encode)
             return c + 1e-12 * jnp.mean(feat)
-        timed_chain(enc_step, img, lambda c: c[0, 0, 0, 0], n_chain, "encoder")
+        timed_chain(enc_step, img, lambda c: c[0, 0, 0, 0], n_chain,
+                    "encoder", const=params)
 
     if "int8" in stages:
         from mast3r_slam_tpu.models.quant import (
@@ -89,28 +94,30 @@ def main():
         )
         qparams = quantize_encoder_params(params)
 
-        def enc8_step(c):
-            feat, pos = encode_int8(params, qparams, c, cfg)
+        def enc8_step(pq, c):
+            feat, pos = encode_int8(pq[0], pq[1], c, cfg)
             return c + 1e-12 * jnp.mean(feat)
         timed_chain(enc8_step, img, lambda c: c[0, 0, 0, 0], n_chain,
-                    "encoder_int8")
+                    "encoder_int8", const=(params, qparams))
 
     feat, pos = engine.encode(img)
 
     if "dec" in stages:
-        def dec_step(c):
+        def dec_step(p, c):
             f1, f2 = c
-            (X, C, D, Q), _ = engine.decode_pair(f1, pos, f2, pos)
+            (X, C, D, Q), _ = engine._decode_head_impl(
+                (h, w), p, f1, pos, f2, pos)
             return (f1 + 1e-12 * X[0, 0, 0, 0], f2)
         timed_chain(dec_step, (feat, feat + 0.01),
-                    lambda c: c[0][0, 0, 0], n_chain, "decode_asym")
+                    lambda c: c[0][0, 0, 0], n_chain, "decode_asym",
+                    const=params)
 
     if "match" in stages:
         X = jax.random.normal(jax.random.PRNGKey(2), (1, h, w, 3)) \
             + jnp.asarray([0, 0, 3.0])
         D = jax.random.normal(jax.random.PRNGKey(3), (1, h, w, 24),
                               jnp.bfloat16)
-        def match_step(c):
+        def match_step(_, c):
             idx, valid = matching.match(X + 1e-12 * c, X, D, D)
             return c + 1e-12 * idx[0, 0]
         timed_chain(match_step, jnp.zeros(()), lambda c: c, n_chain,
@@ -124,7 +131,7 @@ def main():
         tcfg = trk.TrackerConfig(C_conf=-1e9, Q_conf=-1e9, rel_error=0.0,
                                  delta_norm=0.0, max_iters=50)
 
-        def gn_step(c):
+        def gn_step(_, c):
             T, _ = trk.opt_pose_ray_dist_sim3(
                 Xf + 1e-12 * c[0], Xf, sim3.identity(), Qk, valid, tcfg)
             return (c[0] + 1e-12 * T[0], c[1])
