@@ -38,6 +38,16 @@ class MatchingConfig(NamedTuple):
     radius: int = 3
     dilation_max: int = 5
     desc_bits: int = 8   # refine descriptor table precision: 8 (int8) | 16
+    # Coarse-stage query subsampling: 1 = reference-exact (every pixel runs
+    # the full LM + all dilations), 2 = TPU fast path (iter_proj + the
+    # dilation>1 refine walk run on the half-res query grid — both stages
+    # are gather-ROW/BYTE-bound so cost scales with query count — then the
+    # position field is 2x-interpolated and the final d=1 refine runs per
+    # pixel).  The 3D occlusion gate and the C/Q confidence gates still run
+    # at full resolution on the true pointmaps, so mis-interpolated matches
+    # at depth discontinuities are rejected exactly like mis-converged LM
+    # solves.  Validated ATE-neutral on the oracle harness.
+    coarse_subsample: int = 1
     # Table precision for dilations > 1: 8 | 4.  int4 nibble tables halve
     # the gathered bytes but measure 2.4x SLOWER end-to-end on v5e (97 ms
     # vs 40 ms; XLA's int8-gather + unpack pipeline does not fuse well),
@@ -55,6 +65,7 @@ class MatchingConfig(NamedTuple):
             dilation_max=int(d["dilation_max"]),
             desc_bits=int(d.get("desc_bits", 8)),
             coarse_bits=int(d.get("coarse_bits", 8)),
+            coarse_subsample=int(d.get("coarse_subsample", 1)),
         )
 
 
@@ -231,10 +242,10 @@ def iter_proj(rays_with_grad_img, pts3d_norm, p_init, max_iter=10,
 @functools.partial(
     jax.jit,
     static_argnames=("radius", "dilation_max", "u_pack", "qmajor",
-                     "coarse_bits"),
+                     "coarse_bits", "dilation_min"),
 )
 def refine_matches(D11, D21, p1, radius=3, dilation_max=5, u_pack=2,
-                   qmajor=True, coarse_bits=8):
+                   qmajor=True, coarse_bits=8, dilation_min=1):
     """Coarse-to-fine dilated window argmax of descriptor dot products.
 
     D11: (b, h, w, f) descriptor image; D21: (b, n, f) query descriptors;
@@ -431,9 +442,42 @@ def refine_matches(D11, D21, p1, radius=3, dilation_max=5, u_pack=2,
         )
         return jnp.stack([ub, vb], axis=-1)
 
-    for d in range(dilation_max, 0, -1):
+    for d in range(dilation_max, dilation_min - 1, -1):
         uv0 = per_dilation(uv0, d)
     return uv0
+
+
+def _upsample2x_field(fh):
+    """2x linear upsampling of a field sampled on the even-pixel grid:
+    out[2i] = in[i], out[2i+1] = (in[i] + in[i+1])/2 (edge-clamped).
+    fh: (b, h2, w2, c) float -> (b, 2*h2, 2*w2, c)."""
+
+    def up_axis(a, axis):
+        n = a.shape[axis]
+        nxt = jnp.concatenate(
+            [jax.lax.slice_in_dim(a, 1, n, axis=axis),
+             jax.lax.slice_in_dim(a, n - 1, n, axis=axis)],
+            axis=axis,
+        )
+        st = jnp.stack([a, 0.5 * (a + nxt)], axis=axis + 1)
+        shape = list(a.shape)
+        shape[axis] = 2 * n
+        return st.reshape(shape)
+
+    return up_axis(up_axis(fh, 1), 2)
+
+
+def _q8_pair(D11, D21_flat):
+    """Symmetric global-scale int8 tables: the window argmax is invariant
+    to any positive per-side scale, so no dequant is needed and the
+    gathered table bytes halve vs bf16 (gathers are byte-bound — see
+    refine_matches docstring)."""
+
+    def q8(D):
+        s = 127.0 / jnp.maximum(jnp.max(jnp.abs(D)), 1e-12)
+        return jnp.clip(jnp.round(D * s), -127, 127).astype(jnp.int8)
+
+    return q8(D11), q8(D21_flat)
 
 
 def match(X11, X21, D11, D21, idx_1_to_2_init=None,
@@ -442,45 +486,86 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
 
     X11, X21: (b, h, w, 3); D11, D21: (b, h, w, fdim).
     Returns (idx_1_to_2 (b, h*w) int32, valid (b, h*w, 1) bool).
+
+    With ``coarse_subsample=2`` the gather-bound coarse stages (LM
+    projection + dilation>1 refine) run on the half-resolution query grid
+    and only the final d=1 refine is per-pixel; see MatchingConfig.
     """
     b, h, w = X21.shape[:3]
     rays_img, pts3d_norm, p_init = prep_for_iter_proj(
         X11, X21, idx_1_to_2_init
     )
+    cs = cfg.coarse_subsample
+    half = cs == 2 and h % 2 == 0 and w % 2 == 0
+    if half:
+        h2, w2 = h // 2, w // 2
+        sub = lambda A: A.reshape(b, h, w, -1)[:, ::2, ::2].reshape(
+            b, h2 * w2, -1)
+        pts3d_n_q = sub(pts3d_norm)
+        p_init_q = sub(p_init)
+    else:
+        pts3d_n_q, p_init_q = pts3d_norm, p_init
+
     p1, valid_proj2 = iter_proj(
-        rays_img, pts3d_norm, p_init,
+        rays_img, pts3d_n_q, p_init_q,
         max_iter=cfg.max_iter, lambda_init=cfg.lambda_init,
         cost_thresh=cfg.convergence_thresh,
     )
+
+    if cfg.radius > 0:
+        D21_flat = D21.reshape(b, h * w, -1)
+        if cfg.desc_bits == 8:
+            D11_r, D21_r = _q8_pair(D11, D21_flat)
+        else:
+            D11_r = D11.astype(jnp.bfloat16)
+            D21_r = D21_flat.astype(jnp.bfloat16)
+
+    if half:
+        # coarse refine walk on the half grid (queries are true even-pixel
+        # descriptors; the table stays full-resolution)
+        p1c = p1.astype(jnp.int32)
+        if cfg.radius > 0 and cfg.dilation_max > 1:
+            D21_h = D21_r.reshape(b, h, w, -1)[:, ::2, ::2].reshape(
+                b, h2 * w2, -1)
+            p1c = refine_matches(
+                D11_r, D21_h, p1c,
+                radius=cfg.radius, dilation_max=cfg.dilation_max,
+                coarse_bits=cfg.coarse_bits, dilation_min=2,
+            )
+        # interpolate both position fields to full resolution
+        up = lambda P: _upsample2x_field(
+            P.astype(jnp.float32).reshape(b, h2, w2, 2)
+        ).reshape(b, h * w, 2)
+        p1 = up(p1)                      # pre-refine (occlusion check)
+        p1_start = jnp.round(up(p1c)).astype(jnp.int32)
+        p1_start = jnp.clip(
+            p1_start, 0, jnp.asarray([w - 1, h - 1], jnp.int32))
+        valid_proj2 = jnp.repeat(
+            jnp.repeat(valid_proj2.reshape(b, h2, w2), 2, axis=1),
+            2, axis=2,
+        ).reshape(b, h * w)
+    else:
+        p1_start = p1.astype(jnp.int32)
+
     p1 = p1.astype(jnp.int32)
 
     # Occlusion check on 3D distance (matching.py:71-76)
-    idx = pixel_to_lin(p1, w)
+    idx = pixel_to_lin(jnp.clip(
+        p1, 0, jnp.asarray([w - 1, h - 1], jnp.int32)), w)
     X11_flat = X11.reshape(b, h * w, 3)
     X11_at = jnp.take_along_axis(X11_flat, idx[..., None], axis=1)
     dists2 = jnp.linalg.norm(X11_at - X21.reshape(b, h * w, 3), axis=-1)
     valid = valid_proj2 & (dists2 < cfg.dist_thresh)
 
     if cfg.radius > 0:
-        D21_flat = D21.reshape(b, h * w, -1)
-        if cfg.desc_bits == 8:
-            # symmetric global-scale int8: the window argmax is invariant
-            # to any positive per-side scale, so no dequant is needed and
-            # the gathered table bytes halve vs bf16 (gathers are
-            # byte-bound — see refine_matches docstring)
-            def q8(D):
-                s = 127.0 / jnp.maximum(jnp.max(jnp.abs(D)), 1e-12)
-                return jnp.clip(jnp.round(D * s), -127, 127).astype(jnp.int8)
-
-            D11_r, D21_r = q8(D11), q8(D21_flat)
-        else:
-            D11_r = D11.astype(jnp.bfloat16)
-            D21_r = D21_flat.astype(jnp.bfloat16)
         p1 = refine_matches(
-            D11_r, D21_r, p1,
-            radius=cfg.radius, dilation_max=cfg.dilation_max,
+            D11_r, D21_r, p1_start,
+            radius=cfg.radius,
+            dilation_max=1 if half else cfg.dilation_max,
             coarse_bits=cfg.coarse_bits,
         )
+    else:
+        p1 = p1_start
 
     idx_1_to_2 = pixel_to_lin(p1, w)
     return idx_1_to_2, valid[..., None]

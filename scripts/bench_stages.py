@@ -123,6 +123,19 @@ def main():
         timed_chain(match_step, jnp.zeros(()), lambda c: c, n_chain,
                     "match_full")
 
+    if "match2" in stages:
+        X = jax.random.normal(jax.random.PRNGKey(2), (1, h, w, 3)) \
+            + jnp.asarray([0, 0, 3.0])
+        D = jax.random.normal(jax.random.PRNGKey(3), (1, h, w, 24),
+                              jnp.bfloat16)
+        mcfg = matching.MatchingConfig(coarse_subsample=2)
+
+        def match2_step(_, c):
+            idx, valid = matching.match(X + 1e-12 * c, X, D, D, cfg=mcfg)
+            return c + 1e-12 * idx[0, 0]
+        timed_chain(match2_step, jnp.zeros(()), lambda c: c, n_chain,
+                    "match_cs2")
+
     if "gn" in stages:
         key = jax.random.PRNGKey(4)
         Xf = jax.random.normal(key, (hw, 3)) + jnp.asarray([0, 0, 3.0])

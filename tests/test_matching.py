@@ -153,6 +153,25 @@ def test_refine_layout_invariance():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_match_coarse_subsample_agrees():
+    """coarse_subsample=2 (half-res LM + coarse refine walk, full-res d=1
+    finish) must agree with the reference-exact path on smooth scenes and
+    return exact identity on a self-match."""
+    h, w = 48, 64
+    X11 = synthetic_pointmap(h, w)
+    X21 = X11 + jnp.asarray([0.02, 0.01, 0.0])
+    D = unique_descriptors(h, w, 24)
+    idx1, v1 = matching.match(X11, X21, D, D, cfg=matching.MatchingConfig())
+    idx2, v2 = matching.match(
+        X11, X21, D, D, cfg=matching.MatchingConfig(coarse_subsample=2))
+    assert float(jnp.mean(idx1 == idx2)) > 0.99
+    assert float(jnp.mean(v1 == v2)) > 0.95
+
+    idxs, _ = matching.match(
+        X11, X11, D, D, cfg=matching.MatchingConfig(coarse_subsample=2))
+    assert float(jnp.mean(idxs == jnp.arange(h * w)[None])) == 1.0
+
+
 def test_refine_int4_coarse_dilations():
     """coarse_bits=4 nibble-packs the descriptor table for dilations > 1
     (halving the binding gather-byte cost on TPU) while the final d=1 pass
