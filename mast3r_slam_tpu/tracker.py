@@ -176,9 +176,7 @@ def opt_pose_ray_dist_sim3(Xf, Xk, T_init, Qk, valid, cfg: TrackerConfig):
             row(axz, ayz, azz),       # ray z
             row(rx, ry, rz),          # dist
         ]
-        r_t = jnp.stack([r0, r1, r2, r3])            # (4, n)
-        J_t = jnp.stack([jnp.stack(rr) for rr in J_rows])  # (4, 7, n)
-        return r_t, J_t
+        return [r0, r1, r2, r3], J_rows
 
     def cond(state):
         T, old_cost, i, done, ok = state
@@ -186,19 +184,35 @@ def opt_pose_ray_dist_sim3(Xf, Xk, T_init, Qk, valid, cfg: TrackerConfig):
 
     def body(state):
         T, old_cost, i, done, ok = state
-        r_t, J_t = residuals_and_J(T)
+        r_rows, J_rows = residuals_and_J(T)
 
-        whit = sqrt_info_t * r_t                         # (4, n)
-        robust = sqrt_info_t * jnp.sqrt(huber(whit, k=cfg.huber_k))
-        A = (robust[:, None, :] * J_t).reshape(4 * 7, n)  # rows of sqrt-sys
-        b = (robust * r_t)                                # (4, n)
-        # H = sum_r A_r A_r^T accumulated over the 4 residual rows
-        A4 = A.reshape(4, 7, n)
-        H = jnp.einsum("rkn,rln->kl", A4, A4,
-                       preferred_element_type=jnp.float32)
-        g = -jnp.einsum("rkn,rn->k", A4, b,
-                        preferred_element_type=jnp.float32)
-        new_cost = 0.5 * jnp.sum(b * b)
+        # Normal equations as 28+7+1 explicit fused reductions over n.
+        # Stacking J into (4, 7, n) and using einsum materializes ~130 MB
+        # of (28, n) temporaries per iteration (A, J_t, einsum operand
+        # re-reads); writing each H/g entry as a sum-of-products over the
+        # SoA (n,) lanes lets XLA multi-output-fuse the whole iteration
+        # into one pass that only reads the ~6 MB of inputs.
+        H_acc = [[0.0] * 7 for _ in range(7)]
+        g_acc = [0.0] * 7
+        cost_acc = 0.0
+        for rr in range(4):
+            w2 = sqrt_info_t[rr]
+            whit = w2 * r_rows[rr]
+            rob = w2 * jnp.sqrt(huber(whit, k=cfg.huber_k))
+            rob2 = rob * rob
+            b_r = rob * r_rows[rr]
+            cost_acc = cost_acc + jnp.sum(b_r * b_r)
+            jr = J_rows[rr]
+            for k in range(7):
+                g_acc[k] = g_acc[k] + jnp.sum(rob2 * jr[k] * r_rows[rr])
+                for l in range(k, 7):
+                    H_acc[k][l] = H_acc[k][l] + jnp.sum(
+                        rob2 * jr[k] * jr[l])
+        H = jnp.asarray(
+            [[H_acc[k][l] if l >= k else H_acc[l][k] for l in range(7)]
+             for k in range(7)])
+        g = -jnp.asarray(g_acc)
+        new_cost = 0.5 * cost_acc
 
         L = jnp.linalg.cholesky(H)
         tau = jax.scipy.linalg.cho_solve((L, True), g[:, None])[:, 0]
@@ -290,8 +304,6 @@ def track_step(engine_match_asym, frame: Frame, keyframe: Frame, idx_init,
     Xff, Cff, Qff = Xff[0], Cff[0], Qff[0]
     Xkf, Ckf, Qkf = Xkf[0], Ckf[0], Qkf[0]
 
-    Qk = jnp.sqrt(Qff[idx_f2k] * Qkf)
-
     # Update frame pointmap (tracker.py:44)
     frame = update_pointmap(
         frame, Xff, Cff, FilteringMode(cfg.filtering_mode),
@@ -316,8 +328,12 @@ def track_step(engine_match_asym, frame: Frame, keyframe: Frame, idx_init,
     else:
         meas_k, valid_meas_k = None, None
 
-    Xf_m = Xf[idx_f2k]
-    Cf_m = Cf[idx_f2k]
+    # One packed gather instead of three (Xf, Cf, Qff share idx_f2k and
+    # TPU gathers are row-count-bound: 3 x 196k rows -> 1 x 196k rows)
+    g = jnp.concatenate([Xf, Cf, Qff], axis=-1)[idx_f2k]   # (hw, 5)
+    Xf_m = g[:, 0:3]
+    Cf_m = g[:, 3:4]
+    Qk = jnp.sqrt(g[:, 4:5] * Qkf)
 
     # Gating (tracker.py:59-66)
     valid_Cf = Cf_m > cfg.C_conf

@@ -136,6 +136,48 @@ def main():
         timed_chain(match2_step, jnp.zeros(()), lambda c: c, n_chain,
                     "match_cs2")
 
+    if "glue" in stages:
+        # track_step with matching stubbed to identity: measures
+        # decode + gating + fusion + scatter + GN, i.e. everything EXCEPT
+        # the matcher.  (full track) - (this) = matcher-in-context;
+        # (this) - dec - gn = glue.
+        from mast3r_slam_tpu.frame import make_empty_frame
+
+        n_patches = engine.n_patches
+        kf0 = make_empty_frame(h, w, n_patches, cfg.enc_embed_dim)
+        kf0 = kf0.replace(feat=feat[0], pos=pos[0].astype(jnp.int32),
+                          N=jnp.ones((), jnp.int32),
+                          N_updates=jnp.ones((), jnp.int32))
+        fr0 = make_empty_frame(h, w, n_patches, cfg.enc_embed_dim)
+        fr0 = fr0.replace(feat=feat[0] + 0.01, pos=pos[0].astype(jnp.int32))
+        idx0 = jnp.arange(h * w, dtype=jnp.int32)[None]
+        tcfg = trk.TrackerConfig(C_conf=-1e9, Q_conf=-1e9, rel_error=0.0,
+                                 delta_norm=0.0)
+        K = jnp.eye(3)
+
+        def glue_step(p, c):
+            fr, kf = c
+
+            def stub_matcher(f1, p1, f2, p2, idx):
+                (X1, C1, D1, Q1), (X2, C2, D2, Q2) = \
+                    engine._decode_head_impl((h, w), p, f1, p1, f2, p2)
+                b = X1.shape[0]
+                fl3 = lambda A: A.reshape(b, -1, A.shape[-1])
+                fl1 = lambda A: A.reshape(b, -1, 1)
+                return (idx, jnp.ones((b, h * w, 1), bool),
+                        fl3(X1), fl1(C1), fl1(Q1),
+                        fl3(X2), fl1(C2), fl1(Q2))
+
+            res = trk.track_step(stub_matcher, fr, kf, idx0, K, tcfg)
+            fr = fr.replace(
+                feat=fr.feat + 1e-12 * res.frame.T_WC[0],
+                N=jnp.zeros((), jnp.int32),
+                N_updates=jnp.zeros((), jnp.int32))
+            return (fr, kf)
+
+        timed_chain(glue_step, (fr0, kf0), lambda c: c[0].feat[0, 0],
+                    n_chain, "track_nomatch", const=params)
+
     if "gn" in stages:
         key = jax.random.PRNGKey(4)
         Xf = jax.random.normal(key, (hw, 3)) + jnp.asarray([0, 0, 3.0])
