@@ -203,62 +203,83 @@ _RESIDUALS = {
 # Accumulation + assembly + solve
 # ---------------------------------------------------------------------------
 
-def _accumulate_edge_systems(residual, R, Twc, Xs, Cs, ii, jj, idx_ii2jj,
-                             valid_match, Q, edge_valid, K, img_wh,
-                             cfg: BAConfig):
-    """Scan over point chunks, returning Hs (E, 14, 14) and gs (E, 14)."""
+class EdgeData(NamedTuple):
+    """Iteration-invariant per-edge point data, pregathered ONCE per solve.
+
+    The idx_ii2jj permutation gather (E x N random rows) and the gating
+    products do not depend on the pose iterate; re-running them inside the
+    GN loop made the gather engine (~90 Mrows/s) the BA bottleneck.  All
+    arrays are padded along the point axis to a multiple of the chunk size
+    with zero static weight, so the chunk scan needs no range masking."""
+    Xi: jnp.ndarray    # (E, Np, 3) gathered i-side points (matched order)
+    Xj: jnp.ndarray    # (E, Np, 3) j-side points (raster order)
+    sqw: jnp.ndarray   # (E, Np) sqrt(Q) with all static gates folded in
+    ind: jnp.ndarray   # (E, Np) matched linear indices (calib target px)
+
+
+def _pregather_edges(Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
+                     edge_valid, cfg: BAConfig, C: int) -> EdgeData:
     E, N = idx_ii2jj.shape
-    P = Xs.shape[0]
-    C = min(cfg.chunk_points, N)
-    n_chunks = (N + C - 1) // C
-    # pad N to multiple of C via index clamping + mask
-    Xs_flat = Xs.reshape(P * Xs.shape[1], 3)
-    Cs_flat = Cs.reshape(P * Cs.shape[1])
+    P, Nx = Xs.shape[0], Xs.shape[1]
+    ind = jnp.where(valid_match, idx_ii2jj, 0)
+    # ONE packed random gather for the i side (rows are the cost on TPU)
+    src_i = jnp.concatenate(
+        [Xs.reshape(P * Nx, 3), Cs.reshape(P * Nx, 1)], axis=-1
+    )
+    gi = src_i[ii[:, None] * Nx + ind]                # (E, N, 4)
+    Xi, ci = gi[..., :3], gi[..., 3]
+    Xj = Xs[jj]                                       # (E, N, 3) row copy
+    cj = Cs[jj]
+    static_valid = (
+        valid_match & (Q > cfg.Q_conf) & (ci > cfg.C_conf)
+        & (cj > cfg.C_conf) & edge_valid[:, None]
+    )
+    sqw = jnp.where(static_valid, jnp.sqrt(jnp.maximum(Q, 0.0)), 0.0)
+
+    pad = (-N) % C
+    if pad:
+        pz = lambda A: jnp.pad(A, ((0, 0), (0, pad)) + ((0, 0),) *
+                               (A.ndim - 2))
+        Xi, Xj, sqw, ind = pz(Xi), pz(Xj), pz(sqw), pz(ind)
+    return EdgeData(Xi, Xj, sqw, ind)
+
+
+def _accumulate_pre(residual, R, Twc, ii, jj, pre: EdgeData, K, img_wh,
+                    cfg: BAConfig):
+    """Scan over point chunks of pregathered edge data, returning
+    Hs (E, 14, 14) and gs (E, 14)."""
+    E, Np = pre.sqw.shape
+    C = min(cfg.chunk_points, Np)
+    n_chunks = Np // C
 
     Ti = Twc[ii]  # (E,8)
     Tij = sim3.rel(Ti, Twc[jj])
 
     def chunk(carry, c0):
         H_acc, g_acc = carry
-        k = c0 + jnp.arange(C)                        # (C,)
-        in_range = k < N
-        k_safe = jnp.minimum(k, N - 1)
-        vm = jnp.take_along_axis(
-            valid_match, k_safe[None, :].repeat(E, 0), axis=1
-        )                                             # (E,C)
-        idx_c = jnp.take_along_axis(
-            idx_ii2jj, k_safe[None, :].repeat(E, 0), axis=1
-        )
-        ind_Xi = jnp.where(vm, idx_c, 0)
-        Xi = Xs_flat[ii[:, None] * N + ind_Xi]        # (E,C,3)
-        Xj = Xs_flat[jj[:, None] * N + k_safe[None, :]]
-        ci = Cs_flat[ii[:, None] * N + ind_Xi]
-        cj = Cs_flat[jj[:, None] * N + k_safe[None, :]]
-        q = jnp.take_along_axis(Q, k_safe[None, :].repeat(E, 0), axis=1)
+        sl = lambda A: jax.lax.dynamic_slice_in_dim(A, c0, C, axis=1)
+        Xi, Xj, sqw_c, ind_c = sl(pre.Xi), sl(pre.Xj), sl(pre.sqw), \
+            sl(pre.ind)
 
         err, J_local, valid_res, sig = residual(
-            Tij, Xi, Xj, ind_Xi, K, img_wh, cfg
-        )
-
-        valid = (
-            vm & valid_res & in_range[None, :]
-            & (q > cfg.Q_conf) & (ci > cfg.C_conf) & (cj > cfg.C_conf)
-            & edge_valid[:, None]
+            Tij, Xi, Xj, ind_c, K, img_wh, cfg
         )
 
         # Row weights (gn_kernels.cu:949-978): sqrt_w = sig*sqrt(q);
-        # w = huber(sqrt_w * err) * sqrt_w^2, zeroed when invalid.
-        sqrt_w = sig[None, None, :] * jnp.sqrt(
-            jnp.maximum(q, 0.0)
-        )[..., None]                                   # (E,C,R)
-        sqrt_w = jnp.where(valid[..., None], sqrt_w, 0.0)
+        # w = huber(sqrt_w * err) * sqrt_w^2; static gates are already
+        # folded into sqw (zero weight kills padded/invalid points).
+        sqrt_w = sig[None, None, :] * sqw_c[..., None]  # (E,C,R)
+        sqrt_w = jnp.where(valid_res[..., None], sqrt_w, 0.0)
         w = huber(sqrt_w * err, k=cfg.huber_k) * sqrt_w * sqrt_w
 
-        # World-frame jacobians: Jj = J_local @ Adj(T_WCi)^-1, Ji = -Jj
-        Jj = sim3.apply_adj_inv(Ti[:, None, None, :], J_local)  # (E,C,R,7)
-        J14 = jnp.concatenate([-Jj, Jj], axis=-1)               # (E,C,R,14)
-
-        Jf = J14.reshape(E, C * R, 14)
+        # Accumulate in the LOCAL (camera-i) frame: the world-frame
+        # adjoint is constant per edge, so H_w = A^T H_loc A is applied
+        # ONCE per edge after the point reduction instead of transforming
+        # every point's Jacobian row; and since Ji = -Jj exactly, only one
+        # 7x7 block is unique — the 14x14 edge system is assembled at the
+        # end.  This removes the (E,C,R,14) world-Jacobian materialization
+        # that dominated the accumulation traffic.
+        Jf = J_local.reshape(E, C * R, 7)
         wf = w.reshape(E, C * R, 1)
         ef = err.reshape(E, C * R, 1)
         H_acc = H_acc + jnp.einsum(
@@ -270,11 +291,38 @@ def _accumulate_edge_systems(residual, R, Twc, Xs, Cs, ii, jj, idx_ii2jj,
         )
         return (H_acc, g_acc), None
 
-    H0 = jnp.zeros((E, 14, 14), jnp.float32)
-    g0 = jnp.zeros((E, 14), jnp.float32)
+    H0 = jnp.zeros((E, 7, 7), jnp.float32)
+    g0 = jnp.zeros((E, 7), jnp.float32)
     starts = jnp.arange(n_chunks) * C
-    (Hs, gs), _ = jax.lax.scan(chunk, (H0, g0), starts)
+    (H_loc, g_loc), _ = jax.lax.scan(chunk, (H0, g0), starts)
+
+    # Per-edge congruence to world frame: row k of A is e_k @ Adj^{-1}
+    A = sim3.apply_adj_inv(
+        Ti[:, None, :],
+        jnp.broadcast_to(jnp.eye(7, dtype=H_loc.dtype), (E, 7, 7)),
+    )                                                   # (E, 7, 7)
+    At = A.transpose(0, 2, 1)
+    H7 = At @ H_loc @ A                                 # (E, 7, 7)
+    g7 = (At @ g_loc[..., None])[..., 0]                # (E, 7)
+
+    Hs = jnp.concatenate(
+        [jnp.concatenate([H7, -H7], axis=-1),
+         jnp.concatenate([-H7, H7], axis=-1)], axis=-2,
+    )                                                   # (E, 14, 14)
+    gs = jnp.concatenate([-g7, g7], axis=-1)            # (E, 14)
     return Hs, gs
+
+
+def _accumulate_edge_systems(residual, R, Twc, Xs, Cs, ii, jj, idx_ii2jj,
+                             valid_match, Q, edge_valid, K, img_wh,
+                             cfg: BAConfig):
+    """Pregather + accumulate (kept for single-shot callers/tests; the GN
+    loops pregather once and call _accumulate_pre per iteration)."""
+    N = idx_ii2jj.shape[1]
+    C = min(cfg.chunk_points, N)
+    pre = _pregather_edges(Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
+                           edge_valid, cfg, C)
+    return _accumulate_pre(residual, R, Twc, ii, jj, pre, K, img_wh, cfg)
 
 
 def _assemble_dense(Hs, gs, ii, jj, P, pin):
@@ -349,11 +397,16 @@ def gauss_newton(Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
     vm2 = valid_match[..., 0] if valid_match.ndim == 3 else valid_match
     Q2 = Q[..., 0] if Q.ndim == 3 else Q
 
+    # The idx_ii2jj permutation gather is pose-independent: gather ONCE,
+    # outside the GN loop (it was ~E*N rows per iteration otherwise).
+    C = min(cfg.chunk_points, idx_ii2jj.shape[1])
+    pre = _pregather_edges(Xs, Cs2, ii, jj, idx_ii2jj, vm2, Q2,
+                           edge_valid, cfg, C)
+
     def body(state):
         Twc, it, delta, ok, done = state
-        Hs, gs = _accumulate_edge_systems(
-            residual, R, Twc, Xs, Cs2, ii, jj, idx_ii2jj, vm2, Q2,
-            edge_valid, K, img_wh, cfg,
+        Hs, gs = _accumulate_pre(
+            residual, R, Twc, ii, jj, pre, K, img_wh, cfg,
         )
         H, g = _assemble_dense(Hs, gs, ii, jj, P, cfg.pin)
         dx, solve_ok = _solve_scaled(H, g, cfg.damping)

@@ -57,11 +57,15 @@ def sharded_gauss_newton(mesh: Mesh, Twc, Xs, Cs, ii, jj, idx_ii2jj,
         check_vma=False,
     )
     def run(Twc, Xs, Cs2, ii, jj, idx, vm, Q2, ev, K):
+        # pose-independent permutation gather hoisted out of the GN loop
+        # (local to this device's edge shard)
+        C = min(cfg.chunk_points, idx.shape[1])
+        pre = ba._pregather_edges(Xs, Cs2, ii, jj, idx, vm, Q2, ev, cfg, C)
+
         def body(state):
             Twc, it, delta, ok, done = state
-            Hs, gs = ba._accumulate_edge_systems(
-                residual, R, Twc, Xs, Cs2, ii, jj, idx, vm, Q2, ev, K,
-                img_wh, cfg,
+            Hs, gs = ba._accumulate_pre(
+                residual, R, Twc, ii, jj, pre, K, img_wh, cfg,
             )
             H_loc, g_loc = ba._assemble_dense(Hs, gs, ii, jj, P_n, cfg.pin)
             # the ONLY collective: reduce the pose system over ICI

@@ -178,6 +178,39 @@ def main():
         timed_chain(glue_step, (fr0, kf0), lambda c: c[0].feat[0, 0],
                     n_chain, "track_nomatch", const=params)
 
+    if "ba" in stages:
+        # Backend pose-graph BA at eval scale: P keyframes at production
+        # resolution, E two-way ray edges, full 10-iteration solve.
+        from mast3r_slam_tpu.ops import ba as ba_mod
+
+        P_kf = int(os.environ.get("BA_KF", "16"))
+        E_edges = 2 * (P_kf - 1)  # consecutive chain, two-way
+        key = jax.random.PRNGKey(5)
+        Xs = jax.random.normal(key, (P_kf, hw, 3)) + jnp.asarray([0, 0, 3.0])
+        Cs = jnp.ones((P_kf, hw))
+        Twc = jnp.tile(sim3.identity()[None], (P_kf, 1))
+        ii = jnp.concatenate([jnp.arange(P_kf - 1), jnp.arange(1, P_kf)])
+        jj = jnp.concatenate([jnp.arange(1, P_kf), jnp.arange(P_kf - 1)])
+        idx_ii2jj = jnp.tile(jnp.arange(hw, dtype=jnp.int32)[None],
+                             (E_edges, 1))
+        vm = jnp.ones((E_edges, hw), bool)
+        Qe = jnp.full((E_edges, hw), 10.0)
+        ev = jnp.ones((E_edges,), bool)
+        bcfg = ba_mod.BAConfig(Q_conf=-1e9, C_conf=-1e9, delta_norm=0.0)
+        K = jnp.eye(3)
+
+        def ba_step(_, c):
+            Twc_i, z = c
+            Twc_o, iters, delta, ok = ba_mod.gauss_newton(
+                Twc_i, Xs, Cs, ii, jj, idx_ii2jj, vm, Qe, ev, K,
+                "ray", (w, h), bcfg,
+            )
+            return (Twc_i + 1e-12 * delta, z)
+
+        timed_chain(ba_step, (Twc, jnp.zeros(())),
+                    lambda c: c[0][0, 0], n_chain,
+                    f"ba_ray_{P_kf}kf_10it")
+
     if "gn" in stages:
         key = jax.random.PRNGKey(4)
         Xf = jax.random.normal(key, (hw, 3)) + jnp.asarray([0, 0, 3.0])
