@@ -96,11 +96,15 @@ def main():
     import jax
 
     if args.cpu:
+        # No persistent cache on CPU: XLA:CPU AOT artifacts are keyed
+        # without the host's machine features, so entries written on a
+        # different machine load anyway and can SIGILL.  CPU compiles are
+        # cheap; the cache only pays for TPU remote compiles.
         jax.config.update("jax_platforms", "cpu")
-    # persistent compilation cache: TPU remote compiles are expensive
-    cache_dir = pathlib.Path(".jax_cache")
-    cache_dir.mkdir(exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    else:
+        cache_dir = pathlib.Path(".jax_cache")
+        cache_dir.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
 
     import yaml
 

@@ -38,6 +38,10 @@ class MatchingConfig(NamedTuple):
     radius: int = 3
     dilation_max: int = 5
     desc_bits: int = 8   # refine descriptor table precision: 8 (int8) | 16
+    # Descriptors are per-pixel L2-normalized (MASt3R postprocess), so the
+    # int8 tables use the exact fixed scale 127 with no global-max
+    # reduction; set False for unnormalized descriptors.
+    desc_prenorm: bool = True
     # Coarse-stage query subsampling: 1 = reference-exact (every pixel runs
     # the full LM + all dilations), 2 = TPU fast path (iter_proj + the
     # dilation>1 refine walk run on the half-res query grid — both stages
@@ -64,6 +68,7 @@ class MatchingConfig(NamedTuple):
             radius=int(d["radius"]),
             dilation_max=int(d["dilation_max"]),
             desc_bits=int(d.get("desc_bits", 8)),
+            desc_prenorm=bool(d.get("desc_prenorm", True)),
             coarse_bits=int(d.get("coarse_bits", 8)),
             coarse_subsample=int(d.get("coarse_subsample", 1)),
         )
@@ -467,14 +472,22 @@ def _upsample2x_field(fh):
     return up_axis(up_axis(fh, 1), 2)
 
 
-def _q8_pair(D11, D21_flat):
+def _q8_pair(D11, D21_flat, prenorm=True):
     """Symmetric global-scale int8 tables: the window argmax is invariant
     to any positive per-side scale, so no dequant is needed and the
     gathered table bytes halve vs bf16 (gathers are byte-bound — see
-    refine_matches docstring)."""
+    refine_matches docstring).
+
+    prenorm: descriptors are L2-normalized per pixel (MASt3R head output),
+    so every component is in [-1, 1] and scale 127 is exact — this keeps
+    the quantization a pure elementwise op instead of inserting a global
+    max-reduction barrier over the 38 MB descriptor images."""
 
     def q8(D):
-        s = 127.0 / jnp.maximum(jnp.max(jnp.abs(D)), 1e-12)
+        if prenorm:
+            s = 127.0
+        else:
+            s = 127.0 / jnp.maximum(jnp.max(jnp.abs(D)), 1e-12)
         return jnp.clip(jnp.round(D * s), -127, 127).astype(jnp.int8)
 
     return q8(D11), q8(D21_flat)
@@ -515,7 +528,7 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
     if cfg.radius > 0:
         D21_flat = D21.reshape(b, h * w, -1)
         if cfg.desc_bits == 8:
-            D11_r, D21_r = _q8_pair(D11, D21_flat)
+            D11_r, D21_r = _q8_pair(D11, D21_flat, cfg.desc_prenorm)
         else:
             D11_r = D11.astype(jnp.bfloat16)
             D21_r = D21_flat.astype(jnp.bfloat16)

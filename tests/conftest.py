@@ -23,6 +23,17 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The full suite compiles hundreds of XLA:CPU executables in one
+    process; past ~85 tests the accumulated live executables have twice
+    produced a segfault inside a later (trivial) backend compile.  Dropping
+    the compilation caches at module boundaries keeps the live-executable
+    count bounded; each module recompiles only its own functions."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(autouse=True)
 def _isolate_global_config():
     """The process-global config dict (utils/config.py) mirrors the
