@@ -200,6 +200,163 @@ _RESIDUALS = {
 
 
 # ---------------------------------------------------------------------------
+# SoA residual rows (points in the 128-lane axis).
+#
+# Each builder returns a list of residual rows
+#     (sig, r (E,C), J [7 entries: (E,C) | python scalar | None], valid)
+# where None marks a STRUCTURAL zero of the Jacobian (skipped in the
+# normal-equation products) and `valid` an optional (E,C) row mask.  The
+# einsum formulation materialized (E,C,R,7) Jacobian/weight tensors —
+# ~0.7 GB of HBM traffic per GN iteration at production scale; writing the
+# 28 unique H entries + 7 g entries as explicit sum-of-products over (E,C)
+# lanes lets XLA multi-output-fuse each iteration into one pass over the
+# ~160 MB of pregathered inputs (same trick as the frame tracker's GN).
+# ---------------------------------------------------------------------------
+
+def _rot_rows(q):
+    """Per-edge rotation matrix entries from unit quaternions q (E, 4),
+    each returned as (E, 1) for broadcasting against (E, C) lanes."""
+    x, y, z, w = (q[:, 0:1], q[:, 1:2], q[:, 2:3], q[:, 3:4])
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return (
+        (1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)),
+        (2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)),
+        (2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)),
+    )
+
+
+def _act_soa(Tij, Xj):
+    """Sim(3) action on SoA points Xj (E, 3, C) -> (px, py, pz) lanes."""
+    R = _rot_rows(Tij[:, 3:7])
+    s = Tij[:, 7:8]
+    xj, yj, zj = Xj[:, 0], Xj[:, 1], Xj[:, 2]
+    px = s * (R[0][0] * xj + R[0][1] * yj + R[0][2] * zj) + Tij[:, 0:1]
+    py = s * (R[1][0] * xj + R[1][1] * yj + R[1][2] * zj) + Tij[:, 1:2]
+    pz = s * (R[2][0] * xj + R[2][1] * yj + R[2][2] * zj) + Tij[:, 2:3]
+    return px, py, pz
+
+
+def _soa_point(Tij, Xi, Xj, ind, K, img_wh, cfg: BAConfig):
+    """SoA point-alignment rows (J = [I | -skew(p) | p])."""
+    px, py, pz = _act_soa(Tij, Xj)
+    sp = 1.0 / cfg.sigma_point
+    return [
+        (sp, px - Xi[:, 0], [1.0, None, None, None, pz, -py, px], None),
+        (sp, py - Xi[:, 1], [None, 1.0, None, -pz, None, px, py], None),
+        (sp, pz - Xi[:, 2], [None, None, 1.0, py, -px, None, pz], None),
+    ]
+
+
+def _soa_ray(Tij, Xi, Xj, ind, K, img_wh, cfg: BAConfig):
+    """SoA ray+distance rows (J_ray = [(I - r r^T)/d | -skew(r) | 0],
+    J_dist = [r | 0 | d])."""
+    px, py, pz = _act_soa(Tij, Xj)
+    d = jnp.maximum(jnp.sqrt(px * px + py * py + pz * pz), 1e-12)
+    dinv = 1.0 / d
+    rx, ry, rz = px * dinv, py * dinv, pz * dinv
+
+    xi, yi, zi = Xi[:, 0], Xi[:, 1], Xi[:, 2]
+    di = jnp.maximum(jnp.sqrt(xi * xi + yi * yi + zi * zi), 1e-12)
+    di_inv = 1.0 / di
+    rix, riy, riz = xi * di_inv, yi * di_inv, zi * di_inv
+
+    d3 = dinv * dinv * dinv
+    axx = dinv - px * px * d3
+    ayy = dinv - py * py * d3
+    azz = dinv - pz * pz * d3
+    axy = -px * py * d3
+    axz = -px * pz * d3
+    ayz = -py * pz * d3
+
+    sr, sd = 1.0 / cfg.sigma_ray, 1.0 / cfg.sigma_dist
+    return [
+        (sr, rx - rix, [axx, axy, axz, None, rz, -ry, None], None),
+        (sr, ry - riy, [axy, ayy, ayz, -rz, None, rx, None], None),
+        (sr, rz - riz, [axz, ayz, azz, ry, -rx, None, None], None),
+        (sd, d - di, [rx, ry, rz, None, None, None, d], None),
+    ]
+
+
+def _soa_calib(Tij, Xi, Xj, ind, K, img_wh, cfg: BAConfig):
+    """SoA calibrated pixel + log-depth rows."""
+    width, height = img_wh
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    px, py, pz = _act_soa(Tij, Xj)
+    zi = Xi[:, 2]
+    valid_z = (pz > cfg.depth_eps) & (zi > cfg.depth_eps)
+    pz_safe = jnp.where(valid_z, pz, 1.0)
+    zi_safe = jnp.where(valid_z, zi, 1.0)
+    zj_inv = 1.0 / pz_safe
+    xz = px * zj_inv
+    yz = py * zj_inv
+    u = fx * xz + cx
+    v = fy * yz + cy
+    u_t = (ind % width).astype(u.dtype)
+    v_t = (ind // width).astype(u.dtype)
+    valid = (
+        valid_z
+        & (u > cfg.pixel_border) & (u < width - 1 - cfg.pixel_border)
+        & (v > cfg.pixel_border) & (v < height - 1 - cfg.pixel_border)
+    )
+    sp, sz = 1.0 / cfg.sigma_pixel, 1.0 / cfg.sigma_depth
+    return [
+        (sp, u - u_t,
+         [fx * zj_inv, None, -fx * xz * zj_inv,
+          -fx * xz * yz, fx * (1 + xz * xz), -fx * yz, None], valid),
+        (sp, v - v_t,
+         [None, fy * zj_inv, -fy * yz * zj_inv,
+          -fy * (1 + yz * yz), fy * xz * yz, fy * xz, None], valid),
+        (sz, jnp.log(pz_safe) - jnp.log(zi_safe),
+         [None, None, zj_inv, yz, -xz, None, 1.0], valid),
+    ]
+
+
+_SOA_RESIDUALS = {
+    _residual_point: _soa_point,
+    _residual_ray: _soa_ray,
+    _residual_calib: _soa_calib,
+}
+
+
+def _soa_accumulate(rows, sqw_c, huber_k):
+    """Fused normal equations over SoA rows: returns H7 (E, 7, 7),
+    g7 (E, 7) accumulated in fp32 (g = sum w J^T err, matching the einsum
+    formulation this replaces)."""
+    E = sqw_c.shape[0]
+    H = [[0.0] * 7 for _ in range(7)]
+    g = [0.0] * 7
+    for sig, r, J, vmask in rows:
+        sw = sig * sqw_c
+        if vmask is not None:
+            sw = jnp.where(vmask, sw, 0.0)
+        w = huber(sw * r, k=huber_k) * (sw * sw)
+        wr = w * r
+        for k in range(7):
+            Jk = J[k]
+            if Jk is None:
+                continue
+            g[k] = g[k] + jnp.sum(wr * Jk, axis=-1)
+            wJk = w * Jk
+            for l in range(k, 7):
+                Jl = J[l]
+                if Jl is None:
+                    continue
+                H[k][l] = H[k][l] + jnp.sum(wJk * Jl, axis=-1)
+
+    z = jnp.zeros((E,), jnp.float32)
+    ent = lambda k, l: (H[k][l] if l >= k else H[l][k]) + z
+    H7 = jnp.stack(
+        [jnp.stack([ent(k, l) for l in range(7)], axis=-1)
+         for k in range(7)], axis=-2,
+    )
+    g7 = jnp.stack([gk + z for gk in g], axis=-1)
+    return H7, g7
+
+
+# ---------------------------------------------------------------------------
 # Accumulation + assembly + solve
 # ---------------------------------------------------------------------------
 
@@ -208,11 +365,14 @@ class EdgeData(NamedTuple):
 
     The idx_ii2jj permutation gather (E x N random rows) and the gating
     products do not depend on the pose iterate; re-running them inside the
-    GN loop made the gather engine (~90 Mrows/s) the BA bottleneck.  All
-    arrays are padded along the point axis to a multiple of the chunk size
-    with zero static weight, so the chunk scan needs no range masking."""
-    Xi: jnp.ndarray    # (E, Np, 3) gathered i-side points (matched order)
-    Xj: jnp.ndarray    # (E, Np, 3) j-side points (raster order)
+    GN loop made the gather engine (~90 Mrows/s) the BA bottleneck.
+    Layout is SoA — (E, 3, Np) with points in the 128-lane axis — so the
+    per-iteration accumulation reads full vectors (the transpose runs once
+    per solve, outside the GN loop).  All arrays are padded along the point
+    axis to a multiple of the chunk size with zero static weight, so the
+    chunk scan needs no range masking."""
+    Xi: jnp.ndarray    # (E, 3, Np) gathered i-side points (matched order)
+    Xj: jnp.ndarray    # (E, 3, Np) j-side points (raster order)
     sqw: jnp.ndarray   # (E, Np) sqrt(Q) with all static gates folded in
     ind: jnp.ndarray   # (E, Np) matched linear indices (calib target px)
 
@@ -227,8 +387,8 @@ def _pregather_edges(Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
         [Xs.reshape(P * Nx, 3), Cs.reshape(P * Nx, 1)], axis=-1
     )
     gi = src_i[ii[:, None] * Nx + ind]                # (E, N, 4)
-    Xi, ci = gi[..., :3], gi[..., 3]
-    Xj = Xs[jj]                                       # (E, N, 3) row copy
+    Xi, ci = jnp.moveaxis(gi[..., :3], -1, 1), gi[..., 3]
+    Xj = jnp.moveaxis(Xs[jj], -1, 1)                  # (E, 3, N)
     cj = Cs[jj]
     static_valid = (
         valid_match & (Q > cfg.Q_conf) & (ci > cfg.C_conf)
@@ -238,8 +398,8 @@ def _pregather_edges(Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
 
     pad = (-N) % C
     if pad:
-        pz = lambda A: jnp.pad(A, ((0, 0), (0, pad)) + ((0, 0),) *
-                               (A.ndim - 2))
+        pz = lambda A: jnp.pad(
+            A, ((0, 0),) * (A.ndim - 1) + ((0, pad),))
         Xi, Xj, sqw, ind = pz(Xi), pz(Xj), pz(sqw), pz(ind)
     return EdgeData(Xi, Xj, sqw, ind)
 
@@ -247,49 +407,34 @@ def _pregather_edges(Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
 def _accumulate_pre(residual, R, Twc, ii, jj, pre: EdgeData, K, img_wh,
                     cfg: BAConfig):
     """Scan over point chunks of pregathered edge data, returning
-    Hs (E, 14, 14) and gs (E, 14)."""
+    Hs (E, 14, 14) and gs (E, 14).
+
+    Accumulates in the LOCAL (camera-i) frame: the world-frame adjoint is
+    constant per edge, so H_w = A^T H_loc A is applied ONCE per edge after
+    the point reduction; and since Ji = -Jj exactly, only one 7x7 block is
+    unique — the 14x14 edge system is assembled at the end.  The normal
+    equations are built as fused per-entry SoA reductions (_soa_accumulate)
+    rather than einsum over a materialized (E, C*R, 7) Jacobian."""
     E, Np = pre.sqw.shape
     C = min(cfg.chunk_points, Np)
     n_chunks = Np // C
+    soa = _SOA_RESIDUALS[residual]
 
     Ti = Twc[ii]  # (E,8)
     Tij = sim3.rel(Ti, Twc[jj])
 
     def chunk(carry, c0):
         H_acc, g_acc = carry
-        sl = lambda A: jax.lax.dynamic_slice_in_dim(A, c0, C, axis=1)
+        sl = lambda A: jax.lax.dynamic_slice_in_dim(A, c0, C, axis=-1)
         Xi, Xj, sqw_c, ind_c = sl(pre.Xi), sl(pre.Xj), sl(pre.sqw), \
             sl(pre.ind)
-
-        err, J_local, valid_res, sig = residual(
-            Tij, Xi, Xj, ind_c, K, img_wh, cfg
-        )
 
         # Row weights (gn_kernels.cu:949-978): sqrt_w = sig*sqrt(q);
         # w = huber(sqrt_w * err) * sqrt_w^2; static gates are already
         # folded into sqw (zero weight kills padded/invalid points).
-        sqrt_w = sig[None, None, :] * sqw_c[..., None]  # (E,C,R)
-        sqrt_w = jnp.where(valid_res[..., None], sqrt_w, 0.0)
-        w = huber(sqrt_w * err, k=cfg.huber_k) * sqrt_w * sqrt_w
-
-        # Accumulate in the LOCAL (camera-i) frame: the world-frame
-        # adjoint is constant per edge, so H_w = A^T H_loc A is applied
-        # ONCE per edge after the point reduction instead of transforming
-        # every point's Jacobian row; and since Ji = -Jj exactly, only one
-        # 7x7 block is unique — the 14x14 edge system is assembled at the
-        # end.  This removes the (E,C,R,14) world-Jacobian materialization
-        # that dominated the accumulation traffic.
-        Jf = J_local.reshape(E, C * R, 7)
-        wf = w.reshape(E, C * R, 1)
-        ef = err.reshape(E, C * R, 1)
-        H_acc = H_acc + jnp.einsum(
-            "eck,ecl->ekl", Jf * wf, Jf, preferred_element_type=jnp.float32
-        )
-        g_acc = g_acc + jnp.einsum(
-            "eck,ec->ek", Jf, (wf * ef)[..., 0],
-            preferred_element_type=jnp.float32,
-        )
-        return (H_acc, g_acc), None
+        rows = soa(Tij, Xi, Xj, ind_c, K, img_wh, cfg)
+        H7, g7 = _soa_accumulate(rows, sqw_c, cfg.huber_k)
+        return (H_acc + H7, g_acc + g7), None
 
     H0 = jnp.zeros((E, 7, 7), jnp.float32)
     g0 = jnp.zeros((E, 7), jnp.float32)

@@ -57,6 +57,13 @@ class MatchingConfig(NamedTuple):
     # vs 40 ms; XLA's int8-gather + unpack pipeline does not fuse well),
     # so 8 stays the default.  Kept as an option for future XLA versions.
     coarse_bits: int = 8
+    # Radius of the final full-resolution d=1 refine pass when
+    # coarse_subsample=2 (0 = same as `radius`).  After the coarse walk the
+    # interpolated position field is within ~1-2 px of the optimum, so a
+    # smaller final window preserves ATE while cutting the dominant
+    # gather-byte cost of the per-pixel stage ((2r+1)^2 probes/query).
+    # Ignored when coarse_subsample=1 (reference-exact path).
+    final_radius: int = 0
 
     @classmethod
     def from_dict(cls, d: dict) -> "MatchingConfig":
@@ -71,6 +78,7 @@ class MatchingConfig(NamedTuple):
             desc_prenorm=bool(d.get("desc_prenorm", True)),
             coarse_bits=int(d.get("coarse_bits", 8)),
             coarse_subsample=int(d.get("coarse_subsample", 1)),
+            final_radius=int(d.get("final_radius", 0)),
         )
 
 
@@ -571,9 +579,11 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
     valid = valid_proj2 & (dists2 < cfg.dist_thresh)
 
     if cfg.radius > 0:
+        r_final = cfg.final_radius if (half and cfg.final_radius > 0) \
+            else cfg.radius
         p1 = refine_matches(
             D11_r, D21_r, p1_start,
-            radius=cfg.radius,
+            radius=r_final,
             dilation_max=1 if half else cfg.dilation_max,
             coarse_bits=cfg.coarse_bits,
         )

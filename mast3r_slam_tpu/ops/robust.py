@@ -34,3 +34,51 @@ def check_convergence(rel_error_threshold, delta_norm_threshold, old_cost,
     rel_ok = jnp.isfinite(old_cost) & (rel_dec < rel_error_threshold)
     delta_norm = jnp.linalg.norm(delta)
     return rel_ok | (delta_norm < delta_norm_threshold)
+
+
+def solve_spd_small(H, g):
+    """Unrolled LDL^T solve of a tiny SPD system H x = g (H (n, n), g (n,)
+    with n known at trace time, intended for the 7x7 Sim(3) normal
+    equations of the frame tracker).
+
+    XLA's generic ``jnp.linalg.cholesky`` lowers small factorizations to a
+    sequential While loop with dynamic slices — a fixed ~O(100 us) latency
+    that dominates each GN iteration on TPU.  Unrolling the factorization
+    at trace time turns it into ~n^3/3 scalar ops that fuse into the
+    surrounding iteration.  LDL^T needs no sqrt and matches the Cholesky
+    solve exactly for SPD inputs.  Returns (x, ok) where ok is False if a
+    pivot is non-positive or non-finite (singular / indefinite H — the
+    caller's Cholesky-failure path, reference tracker.py:72-93).
+    """
+    n = H.shape[0]
+    L = [[None] * n for _ in range(n)]
+    d = [None] * n
+    dinv = [None] * n
+    ok = jnp.ones((), bool)
+    for j in range(n):
+        dj = H[j, j]
+        for k in range(j):
+            dj = dj - L[j][k] * L[j][k] * d[k]
+        ok = ok & (dj > 0) & jnp.isfinite(dj)
+        d[j] = dj
+        dinv[j] = 1.0 / jnp.where(dj > 0, dj, 1.0)
+        for i in range(j + 1, n):
+            s = H[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k] * d[k]
+            L[i][j] = s * dinv[j]
+    # forward: L z = g
+    z = [None] * n
+    for i in range(n):
+        s = g[i]
+        for k in range(i):
+            s = s - L[i][k] * z[k]
+        z[i] = s
+    # diagonal + backward: L^T x = D^{-1} z
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = z[i] * dinv[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s
+    return jnp.stack(x), ok

@@ -128,7 +128,7 @@ def main():
             + jnp.asarray([0, 0, 3.0])
         D = jax.random.normal(jax.random.PRNGKey(3), (1, h, w, 24),
                               jnp.bfloat16)
-        mcfg = matching.MatchingConfig(coarse_subsample=2)
+        mcfg = matching.MatchingConfig(coarse_subsample=2, final_radius=2)
 
         def match2_step(_, c):
             idx, valid = matching.match(X + 1e-12 * c, X, D, D, cfg=mcfg)
@@ -177,6 +177,86 @@ def main():
 
         timed_chain(glue_step, (fr0, kf0), lambda c: c[0].feat[0, 0],
                     n_chain, "track_nomatch", const=params)
+
+    if "glue0" in stages:
+        # track_step with matching stubbed AND GN disabled (max_iters=0):
+        # decode + fusion + gating + scatter only.  glue0 - dec = pure glue
+        # without the solver; (glue) - (glue0) = GN-in-context.
+        from mast3r_slam_tpu.frame import make_empty_frame
+
+        n_patches = engine.n_patches
+        kf0 = make_empty_frame(h, w, n_patches, cfg.enc_embed_dim)
+        kf0 = kf0.replace(feat=feat[0], pos=pos[0].astype(jnp.int32),
+                          N=jnp.ones((), jnp.int32),
+                          N_updates=jnp.ones((), jnp.int32))
+        fr0 = make_empty_frame(h, w, n_patches, cfg.enc_embed_dim)
+        fr0 = fr0.replace(feat=feat[0] + 0.01, pos=pos[0].astype(jnp.int32))
+        idx0 = jnp.arange(h * w, dtype=jnp.int32)[None]
+        tcfg0 = trk.TrackerConfig(C_conf=-1e9, Q_conf=-1e9, rel_error=0.0,
+                                  delta_norm=0.0, max_iters=0)
+        K = jnp.eye(3)
+
+        def glue0_step(p, c):
+            fr, kf = c
+
+            def stub_matcher(f1, p1, f2, p2, idx):
+                (X1, C1, D1, Q1), (X2, C2, D2, Q2) = \
+                    engine._decode_head_impl((h, w), p, f1, p1, f2, p2)
+                b = X1.shape[0]
+                fl3 = lambda A: A.reshape(b, -1, A.shape[-1])
+                fl1 = lambda A: A.reshape(b, -1, 1)
+                return (idx, jnp.ones((b, h * w, 1), bool),
+                        fl3(X1), fl1(C1), fl1(Q1),
+                        fl3(X2), fl1(C2), fl1(Q2))
+
+            res = trk.track_step(stub_matcher, fr, kf, idx0, K, tcfg0)
+            fr = fr.replace(
+                feat=fr.feat + 1e-12 * res.frame.T_WC[0],
+                N=jnp.zeros((), jnp.int32),
+                N_updates=jnp.zeros((), jnp.int32))
+            return (fr, kf)
+
+        timed_chain(glue0_step, (fr0, kf0), lambda c: c[0].feat[0, 0],
+                    n_chain, "track_nomatch_nogn", const=params)
+
+    if "gather1" in stages:
+        # one packed 196k-row x 20 B gather (the tracker's Xf/Cf/Qff fetch)
+        tbl = jax.random.normal(jax.random.PRNGKey(7), (hw, 5), jnp.float32)
+        idxg = jax.random.randint(jax.random.PRNGKey(8), (hw,), 0, hw)
+
+        def gather1_step(_, c):
+            g = tbl[jnp.mod(idxg + c.astype(jnp.int32), hw)]
+            return c + 1e-12 * g[0, 0]
+        timed_chain(gather1_step, jnp.zeros(()), lambda c: c, n_chain,
+                    "gather_hw_rows")
+
+    if "scatter1" in stages:
+        # the keyframe-uniqueness scatter-max (196k rows)
+        idxs = jax.random.randint(jax.random.PRNGKey(9), (hw,), 0, hw)
+
+        def scatter1_step(_, c):
+            seen = jnp.zeros((hw,), jnp.int32).at[
+                jnp.mod(idxs + c.astype(jnp.int32), hw)
+            ].max(1, mode="drop")
+            return c + 1e-12 * jnp.sum(seen).astype(jnp.float32)
+        timed_chain(scatter1_step, jnp.zeros(()), lambda c: c, n_chain,
+                    "scatter_hw_rows")
+
+    if "chol" in stages:
+        # 50 chained 7x7 cholesky+cho_solve: the while-loop-iteration fixed
+        # cost inside the GN solver (everything except the big reductions)
+        Hs = jnp.eye(7) * 10.0
+
+        def chol_step(_, c):
+            def body(i, x):
+                H = Hs + jnp.outer(x, x)
+                L = jnp.linalg.cholesky(H)
+                y = jax.scipy.linalg.cho_solve((L, True), x[:, None])[:, 0]
+                return x + 1e-6 * y
+            x = jax.lax.fori_loop(0, 50, body, c)
+            return x
+        timed_chain(chol_step, jnp.ones((7,)), lambda c: c[0], n_chain,
+                    "chol7x7_50it")
 
     if "ba" in stages:
         # Backend pose-graph BA at eval scale: P keyframes at production

@@ -93,3 +93,26 @@ def test_huber_tukey():
     wt = tukey(r, t=4.6851)
     assert float(wt[2]) == 1.0
     assert float(tukey(jnp.asarray([5.0]), t=4.6851)[0]) == 0.0
+
+
+def test_solve_spd_small_matches_cholesky():
+    import jax
+    import jax.numpy as jnp
+    from mast3r_slam_tpu.ops.robust import solve_spd_small
+
+    key = jax.random.PRNGKey(0)
+    for i in range(5):
+        key, k1, k2 = jax.random.split(key, 3)
+        A = jax.random.normal(k1, (7, 7))
+        H = A @ A.T + 7 * jnp.eye(7)
+        g = jax.random.normal(k2, (7,))
+        x, ok = solve_spd_small(H, g)
+        assert bool(ok)
+        x_ref = jnp.linalg.solve(H, g)
+        assert jnp.allclose(x, x_ref, atol=1e-4), (x, x_ref)
+
+    # indefinite matrix -> ok False, finite output
+    H_bad = jnp.diag(jnp.asarray([1.0, -1.0, 1, 1, 1, 1, 1]))
+    x, ok = solve_spd_small(H_bad, jnp.ones((7,)))
+    assert not bool(ok)
+    assert bool(jnp.all(jnp.isfinite(x)))

@@ -239,3 +239,33 @@ def test_lin_pixel_roundtrip():
     idx = jnp.arange(0, 17 * 5)
     p = matching.lin_to_pixel(idx, w)
     np.testing.assert_array_equal(matching.pixel_to_lin(p, w), idx)
+
+
+def test_match_final_radius_agrees():
+    """Under coarse_subsample=2 a final_radius=2 d=1 refine must reproduce
+    the radius-3 result exactly on a rigid rotation+translation warp with a
+    depth discontinuity (the coarse walk leaves the position field within
+    ~1 px of the optimum)."""
+    from mast3r_slam_tpu.ops import lie_sim3 as sim3
+
+    h, w = 48, 64
+    v, u = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                        jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    z = jnp.full((h, w), 3.0)
+    z = z.at[15:30, 20:45].set(1.5)
+    z = z + 0.3 * jnp.sin(u / 9.0) * jnp.cos(v / 7.0)
+    fx = fy = 60.0
+    X11 = jnp.stack([(u - w / 2) / fx * z, (v - h / 2) / fy * z, z],
+                    -1)[None]
+    T = sim3.exp(jnp.asarray([0.04, -0.03, 0.02, 0.03, -0.02, 0.04, 0.0]))
+    X21 = sim3.act(T, X11.reshape(1, -1, 3)).reshape(X11.shape)
+    D = unique_descriptors(h, w, 24)
+
+    idx3, v3 = matching.match(
+        X11, X21, D, D, cfg=matching.MatchingConfig(coarse_subsample=2))
+    idx2, v2 = matching.match(
+        X11, X21, D, D,
+        cfg=matching.MatchingConfig(coarse_subsample=2, final_radius=2))
+    both = v3[..., 0] & v2[..., 0]
+    assert float(jnp.mean(both)) > 0.4
+    assert bool(jnp.all(jnp.where(both, idx2 == idx3, True)))

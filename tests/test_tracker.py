@@ -159,3 +159,44 @@ def test_low_match_frac_reported():
         matcher, frame, kf, jnp.arange(HW, dtype=jnp.int32)[None], K, cfg
     )
     assert float(res.match_frac) < 0.05
+
+
+def test_opt_pose_ray_closed_form_matches_elementwise():
+    """The closed-form (joint-huber) ray GN must agree with the generic
+    per-component path: exactly (to float tolerance) on inlier-only data
+    where every huber weight is 1, and to the same pose on noisy data with
+    outliers (both robust paths converge to the same optimum)."""
+    Xk = scene_points()
+    T_true = rand_pose(0.05, seed=2)
+    Xf = sim3.act(sim3.inv(T_true), Xk)
+    Q = jnp.full((HW, 1), 4.0)
+    valid = jnp.ones((HW, 1))
+
+    cfg_j = trk.TrackerConfig(joint_ray_huber=True)
+    cfg_e = trk.TrackerConfig(joint_ray_huber=False)
+    T_j, ok_j = trk.opt_pose_ray_dist_sim3(
+        Xf, Xk, sim3.identity(), Q, valid, cfg_j)
+    T_e, ok_e = trk.opt_pose_ray_dist_sim3(
+        Xf, Xk, sim3.identity(), Q, valid, cfg_e)
+    assert bool(ok_j) and bool(ok_e)
+    np.testing.assert_allclose(np.asarray(T_j), np.asarray(T_e), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(T_j), np.asarray(T_true),
+                               atol=1e-4)
+
+    # outliers: 5% of points corrupted; both paths must still recover pose
+    rng = np.random.default_rng(3)
+    mask = rng.random(HW) < 0.05
+    Xf_noisy = np.array(Xf)
+    Xf_noisy[mask] += rng.standard_normal((mask.sum(), 3)) * 1.0
+    Xf_noisy = jnp.asarray(Xf_noisy)
+    T_j, ok_j = trk.opt_pose_ray_dist_sim3(
+        Xf_noisy, Xk, sim3.identity(), Q, valid, cfg_j)
+    T_e, ok_e = trk.opt_pose_ray_dist_sim3(
+        Xf_noisy, Xk, sim3.identity(), Q, valid, cfg_e)
+    assert bool(ok_j) and bool(ok_e)
+    # gross outliers downweighted differently (norm vs per-component huber):
+    # both must stay near the true pose, not match each other exactly
+    np.testing.assert_allclose(np.asarray(T_j), np.asarray(T_true),
+                               atol=3e-2)
+    np.testing.assert_allclose(np.asarray(T_e), np.asarray(T_true),
+                               atol=3e-2)
