@@ -25,6 +25,7 @@ layout so that weights convert 1:1 (`convert.py`).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -98,8 +99,22 @@ class Mlp(nn.Module):
 
 
 def _attention(q, k, v, dtype):
-    """Fused scaled-dot-product attention; XLA lowers this to its flash
-    attention path on TPU. q,k,v: (B, H, N, Dh) -> (B, H, N, Dh)."""
+    """Scaled-dot-product attention. q,k,v: (B, H, N, Dh) -> (B, H, N, Dh).
+
+    Default is XLA's fused lowering: at this model's 768 tokens it MEASURES
+    FASTER on v5e than the whole-head-in-VMEM Pallas kernel in
+    ops/attention.py (enc 5.1 vs 9.0 ms, dec 7.1 vs 9.1 ms — the Pallas
+    grid serializes per (batch, head) and leaves MXU lanes idle on the
+    Dh=64 output, while XLA pipelines the score/AV matmuls across heads).
+    MAST3R_ATTENTION=pallas selects the kernel for future tuning/longer
+    sequences."""
+    impl = os.environ.get("MAST3R_ATTENTION", "xla")
+    if impl == "pallas":
+        from ..ops.attention import flash_attention
+
+        return flash_attention(
+            q.astype(dtype), k.astype(dtype), v.astype(dtype)
+        )
     # jax.nn.dot_product_attention expects (B, N, H, Dh)
     out = jax.nn.dot_product_attention(
         q.swapaxes(1, 2).astype(dtype),

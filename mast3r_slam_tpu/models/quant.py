@@ -28,7 +28,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .mast3r import MASt3RConfig
+from .mast3r import MASt3RConfig, _attention
 from .rope import rope_2d
 
 
@@ -125,11 +125,7 @@ def encode_int8(params, qparams, img, cfg: MASt3RConfig):
         q, k, v = [jnp.moveaxis(qkv[:, :, j], 2, 1) for j in range(3)]
         q = rope_2d(q, pos, cfg.rope_freq)
         k = rope_2d(k, pos, cfg.rope_freq)
-        att = jax.nn.dot_product_attention(
-            q.swapaxes(1, 2).astype(jnp.bfloat16),
-            k.swapaxes(1, 2).astype(jnp.bfloat16),
-            v.swapaxes(1, 2).astype(jnp.bfloat16),
-        ).swapaxes(1, 2)
+        att = _attention(q, k, v, jnp.bfloat16)
         att = att.swapaxes(1, 2).reshape(B, N, D)
         x = x + _int8_matmul(att, q8["proj"]).astype(x.dtype)
 

@@ -78,7 +78,11 @@ def main():
     model = MASt3R(cfg)
     init_img = jnp.zeros((1, 64, 64, 3), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), init_img, init_img)
-    engine = InferenceEngine(model, params, (h, w))
+    engine = InferenceEngine(
+        model, params, (h, w),
+        match_cfg=matching.MatchingConfig(coarse_subsample=2,
+                                          final_radius=2),
+    )  # production matching config (config/base.yaml)
     img = jax.random.normal(jax.random.PRNGKey(1), (1, h, w, 3), jnp.float32)
 
     if "enc" in stages:
@@ -177,6 +181,108 @@ def main():
 
         timed_chain(glue_step, (fr0, kf0), lambda c: c[0].feat[0, 0],
                     n_chain, "track_nomatch", const=params)
+
+    if "decmatch" in stages:
+        # decode + matcher composed in ONE jit (the engine's
+        # _match_asymmetric_impl): detects composition overheads vs the
+        # isolated dec + match_cs2 numbers (rematerialization under memory
+        # pressure, scheduling).
+        idx0 = jnp.arange(h * w, dtype=jnp.int32)[None]
+
+        def dm_step(p, c):
+            f1, f2 = c
+            out = engine._match_asymmetric_impl(p, f1, pos, f2, pos, idx0)
+            return (f1 + 1e-12 * out[0][0, 0].astype(jnp.float32), f2)
+
+        timed_chain(dm_step, (feat, feat + 0.01),
+                    lambda c: c[0][0, 0, 0], n_chain, "dec_plus_match",
+                    const=params)
+
+    if "decmatch2" in stages:
+        # decode and matcher in ONE program but with INDEPENDENT matcher
+        # inputs (only a scalar dependency links them): isolates
+        # co-residency/scheduling costs from dataflow (layout/remat) costs.
+        Xr = jax.random.normal(jax.random.PRNGKey(2), (1, h, w, 3)) \
+            + jnp.asarray([0, 0, 3.0])
+        Dr = jax.random.normal(jax.random.PRNGKey(3), (1, h, w, 24),
+                               jnp.float32)
+        idx0 = jnp.arange(h * w, dtype=jnp.int32)[None]
+        mcfg2 = matching.MatchingConfig(coarse_subsample=2, final_radius=2)
+
+        def dm2_step(p, c):
+            f1, f2 = c
+            (X1, C1, D1, Q1), (X2, C2, D2, Q2) = engine._decode_head_impl(
+                (h, w), p, f1, pos, f2, pos)
+            eps = 1e-12 * X1[0, 0, 0, 0]
+            idx, valid = matching.match(
+                Xr + eps, Xr, Dr + eps, Dr, idx_1_to_2_init=idx0, cfg=mcfg2)
+            return (f1 + 1e-12 * idx[0, 0].astype(jnp.float32), f2)
+
+        timed_chain(dm2_step, (feat, feat + 0.01),
+                    lambda c: c[0][0, 0, 0], n_chain, "dec_plus_match_indep",
+                    const=params)
+
+    if "decmatch3" in stages:
+        # decode + matcher with FORCED RELAYOUT of the decode outputs
+        # (transpose -> barrier -> transpose back): tests whether the
+        # dataflow penalty of the composed program is layout propagation
+        # from the head convs into the matcher's tables.
+        idx0 = jnp.arange(h * w, dtype=jnp.int32)[None]
+        mcfg3 = matching.MatchingConfig(coarse_subsample=2, final_radius=2)
+
+        def relayout(A):
+            t = jnp.swapaxes(A, 1, 3)
+            t = jax.lax.optimization_barrier(t)
+            return jnp.swapaxes(t, 1, 3)
+
+        def dm3_step(p, c):
+            f1, f2 = c
+            (X1, C1, D1, Q1), (X2, C2, D2, Q2) = engine._decode_head_impl(
+                (h, w), p, f1, pos, f2, pos)
+            idx, valid = matching.match(
+                relayout(X1), relayout(X2), relayout(D1), relayout(D2),
+                idx_1_to_2_init=idx0, cfg=mcfg3)
+            return (f1 + 1e-12 * idx[0, 0].astype(jnp.float32), f2)
+
+        timed_chain(dm3_step, (feat, feat + 0.01),
+                    lambda c: c[0][0, 0, 0], n_chain,
+                    "dec_plus_match_relayout", const=params)
+
+    if "twodisp" in stages:
+        # decode and matcher as SEPARATE XLA executables, Python-chained
+        # with async dispatch and ONE readback at the end: measures whether
+        # splitting the frame step into multiple dispatches (letting each
+        # compile in isolation) beats the single fused step, i.e. whether
+        # the relay pipelines queued dispatches at device speed.
+        idx0 = jnp.arange(h * w, dtype=jnp.int32)[None]
+        mcfg4 = matching.MatchingConfig(coarse_subsample=2, final_radius=2)
+
+        @jax.jit
+        def jit_match(X1, X2, D1, D2):
+            return matching.match(X1, X2, D1, D2, idx_1_to_2_init=idx0,
+                                  cfg=mcfg4)
+
+        def frames(n, f1, f2):
+            for _ in range(n):
+                (X1, C1, D1, Q1), (X2, C2, D2, Q2) = engine._decode_head(
+                    params, f1, pos, f2, pos)
+                idx, valid = jit_match(X1, X2, D1, D2)
+                f1 = f1 + 1e-12 * idx[0, 0].astype(jnp.float32)
+            return f1
+
+        t0 = time.time()
+        float(frames(1, feat, feat + 0.01)[0, 0, 0])
+        log(f"  twodisp: compiled+first in {time.time() - t0:.1f}s")
+        float(frames(n_chain, feat, feat + 0.01)[0, 0, 0])
+        t0 = time.time()
+        float(frames(1, feat, feat + 0.01)[0, 0, 0])
+        t1 = time.time() - t0
+        t0 = time.time()
+        float(frames(n_chain, feat, feat + 0.01)[0, 0, 0])
+        tN = time.time() - t0
+        ms = (tN - t1) / (n_chain - 1) * 1e3
+        log(f"  twodisp: {ms:.2f} ms/frame (t1={t1*1e3:.0f} tN={tN*1e3:.0f})")
+        print(f"twodisp_ms {ms:.2f}", flush=True)
 
     if "glue0" in stages:
         # track_step with matching stubbed AND GN disabled (max_iters=0):

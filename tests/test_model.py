@@ -91,3 +91,33 @@ def test_asymmetric_heads_differ(tiny_model):
     img2 = jnp.asarray(rng.standard_normal((1, 32, 48, 3)), dtype=jnp.float32)
     res1, res2 = model.apply(params, img1, img2)
     assert float(jnp.abs(res1["pts3d"] - res2["pts3d"]).max()) > 1e-6
+
+
+def test_flash_attention_matches_xla():
+    """Pallas fused attention (interpret mode on CPU) must match
+    jax.nn.dot_product_attention, including non-square (cross-attention)
+    shapes and bf16 inputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mast3r_slam_tpu.ops.attention import flash_attention
+
+    key = jax.random.PRNGKey(0)
+    for (B, H, Nq, Nk, Dh, dt, tol) in [
+        (2, 4, 96, 96, 64, jnp.float32, 2e-5),
+        (1, 3, 80, 112, 32, jnp.float32, 2e-5),
+        (2, 2, 64, 64, 64, jnp.bfloat16, 2e-2),
+    ]:
+        kq, kk, kv, key = jax.random.split(key, 4)
+        q = jax.random.normal(kq, (B, H, Nq, Dh), dt)
+        k = jax.random.normal(kk, (B, H, Nk, Dh), dt)
+        v = jax.random.normal(kv, (B, H, Nk, Dh), dt)
+        ref = jax.nn.dot_product_attention(
+            q.swapaxes(1, 2), k.swapaxes(1, 2), v.swapaxes(1, 2)
+        ).swapaxes(1, 2)
+        out = flash_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=tol,
+        )
