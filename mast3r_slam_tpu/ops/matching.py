@@ -64,6 +64,15 @@ class MatchingConfig(NamedTuple):
     # gather-byte cost of the per-pixel stage ((2r+1)^2 probes/query).
     # Ignored when coarse_subsample=1 (reference-exact path).
     final_radius: int = 0
+    # Radius for the coarse dilations BELOW dilation_max when
+    # coarse_subsample=2 (0 = same as `radius`).  The first (coarsest)
+    # dilation always keeps the full `radius` so the recovery coverage of
+    # the walk is preserved; the inner dilations only polish a position
+    # already inside their basin, where a (2*2+1)^2 window measures
+    # near-identical to (2*3+1)^2 (exact on small warps, >98% of valid
+    # matches on extreme keyframe-reset warps) at ~half the gathered bytes.
+    # Ignored when coarse_subsample=1.
+    coarse_radius: int = 0
 
     @classmethod
     def from_dict(cls, d: dict) -> "MatchingConfig":
@@ -79,6 +88,7 @@ class MatchingConfig(NamedTuple):
             coarse_bits=int(d.get("coarse_bits", 8)),
             coarse_subsample=int(d.get("coarse_subsample", 1)),
             final_radius=int(d.get("final_radius", 0)),
+            coarse_radius=int(d.get("coarse_radius", 0)),
         )
 
 
@@ -548,11 +558,25 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
         if cfg.radius > 0 and cfg.dilation_max > 1:
             D21_h = D21_r.reshape(b, h, w, -1)[:, ::2, ::2].reshape(
                 b, h2 * w2, -1)
+            # coarsest dilation at the full radius (coverage), inner
+            # dilations at coarse_radius (gather bytes)
             p1c = refine_matches(
                 D11_r, D21_h, p1c,
                 radius=cfg.radius, dilation_max=cfg.dilation_max,
-                coarse_bits=cfg.coarse_bits, dilation_min=2,
+                coarse_bits=cfg.coarse_bits,
+                dilation_min=cfg.dilation_max,
             )
+            if cfg.dilation_max > 2:
+                r_coarse = cfg.coarse_radius if cfg.coarse_radius > 0 \
+                    else cfg.radius
+                p1c = refine_matches(
+                    D11_r, D21_h, p1c,
+                    radius=r_coarse, dilation_max=cfg.dilation_max - 1,
+                    coarse_bits=cfg.coarse_bits, dilation_min=2,
+                    # k_side <= 5 -> pack the whole window into one gather
+                    # row (<= 600 B, still byte-bound, zero wasted columns)
+                    u_pack=(2 * r_coarse + 1) if r_coarse <= 2 else 2,
+                )
         # interpolate both position fields to full resolution
         up = lambda P: _upsample2x_field(
             P.astype(jnp.float32).reshape(b, h2, w2, 2)
@@ -586,6 +610,7 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
             radius=r_final,
             dilation_max=1 if half else cfg.dilation_max,
             coarse_bits=cfg.coarse_bits,
+            u_pack=(2 * r_final + 1) if (half and r_final <= 2) else 2,
         )
     else:
         p1 = p1_start

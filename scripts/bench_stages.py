@@ -81,7 +81,7 @@ def main():
     engine = InferenceEngine(
         model, params, (h, w),
         match_cfg=matching.MatchingConfig(coarse_subsample=2,
-                                          final_radius=2),
+                                          final_radius=2, coarse_radius=2),
     )  # production matching config (config/base.yaml)
     img = jax.random.normal(jax.random.PRNGKey(1), (1, h, w, 3), jnp.float32)
 
@@ -132,7 +132,7 @@ def main():
             + jnp.asarray([0, 0, 3.0])
         D = jax.random.normal(jax.random.PRNGKey(3), (1, h, w, 24),
                               jnp.bfloat16)
-        mcfg = matching.MatchingConfig(coarse_subsample=2, final_radius=2)
+        mcfg = matching.MatchingConfig(coarse_subsample=2, final_radius=2, coarse_radius=2)
 
         def match2_step(_, c):
             idx, valid = matching.match(X + 1e-12 * c, X, D, D, cfg=mcfg)
@@ -207,7 +207,7 @@ def main():
         Dr = jax.random.normal(jax.random.PRNGKey(3), (1, h, w, 24),
                                jnp.float32)
         idx0 = jnp.arange(h * w, dtype=jnp.int32)[None]
-        mcfg2 = matching.MatchingConfig(coarse_subsample=2, final_radius=2)
+        mcfg2 = matching.MatchingConfig(coarse_subsample=2, final_radius=2, coarse_radius=2)
 
         def dm2_step(p, c):
             f1, f2 = c
@@ -228,7 +228,7 @@ def main():
         # dataflow penalty of the composed program is layout propagation
         # from the head convs into the matcher's tables.
         idx0 = jnp.arange(h * w, dtype=jnp.int32)[None]
-        mcfg3 = matching.MatchingConfig(coarse_subsample=2, final_radius=2)
+        mcfg3 = matching.MatchingConfig(coarse_subsample=2, final_radius=2, coarse_radius=2)
 
         def relayout(A):
             t = jnp.swapaxes(A, 1, 3)
@@ -255,7 +255,7 @@ def main():
         # compile in isolation) beats the single fused step, i.e. whether
         # the relay pipelines queued dispatches at device speed.
         idx0 = jnp.arange(h * w, dtype=jnp.int32)[None]
-        mcfg4 = matching.MatchingConfig(coarse_subsample=2, final_radius=2)
+        mcfg4 = matching.MatchingConfig(coarse_subsample=2, final_radius=2, coarse_radius=2)
 
         @jax.jit
         def jit_match(X1, X2, D1, D2):

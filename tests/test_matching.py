@@ -269,3 +269,36 @@ def test_match_final_radius_agrees():
     both = v3[..., 0] & v2[..., 0]
     assert float(jnp.mean(both)) > 0.4
     assert bool(jnp.all(jnp.where(both, idx2 == idx3, True)))
+
+
+def test_match_coarse_radius_agrees():
+    """The production coarse schedule (coarsest dilation at full radius,
+    inner dilations and final pass at radius 2) must reproduce the
+    all-radius-3 reference-exact match on valid pixels, including under an
+    extreme keyframe-reset warp (large rotation + translation + scale with
+    a depth discontinuity)."""
+    from mast3r_slam_tpu.ops import lie_sim3 as sim3
+
+    h, w = 48, 64
+    v, u = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                        jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    z = jnp.full((h, w), 3.0)
+    z = z.at[15:30, 20:45].set(1.5)
+    z = z + 0.3 * jnp.sin(u / 9.0) * jnp.cos(v / 7.0)
+    fx = fy = 60.0
+    X11 = jnp.stack([(u - w / 2) / fx * z, (v - h / 2) / fy * z, z],
+                    -1)[None]
+    D = unique_descriptors(h, w, 24)
+    for xi in ([0.04, -0.03, 0.02, 0.03, -0.02, 0.04, 0.0],
+               [0.15, -0.1, 0.08, 0.10, -0.08, 0.12, 0.05]):
+        T = sim3.exp(jnp.asarray(xi))
+        X21 = sim3.act(T, X11.reshape(1, -1, 3)).reshape(X11.shape)
+        idx_ref, v_ref = matching.match(
+            X11, X21, D, D, cfg=matching.MatchingConfig())
+        idx, vv = matching.match(
+            X11, X21, D, D,
+            cfg=matching.MatchingConfig(
+                coarse_subsample=2, final_radius=2, coarse_radius=2))
+        both = v_ref[..., 0] & vv[..., 0]
+        agree = float(jnp.mean(jnp.where(both, idx == idx_ref, True)))
+        assert agree > 0.995, agree
