@@ -16,6 +16,7 @@ step is a single jitted computation:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -40,6 +41,14 @@ class InferenceEngine:
         """int8_encoder enables the quantized encoder path (capability
         parity with the fork's TensorRT INT8 feature; models/quant.py)."""
         self.model = model
+        if model.cfg.dtype == jnp.bfloat16 and \
+                os.environ.get("MAST3R_BF16_PARAMS", "1") != "0":
+            # Bitwise-identical (those modules compute in bf16 anyway) but
+            # halves the ~2 GB/frame of trunk weight reads — see
+            # cast_trunk_params_bf16.
+            from .models.mast3r import cast_trunk_params_bf16
+
+            params = cast_trunk_params_bf16(params)
         self.params = params
         self.img_hw = img_hw
         self.downsample = downsample

@@ -513,3 +513,32 @@ class MASt3R(nn.Module):
         f2, pos2 = self.encode(img2)
         img_hw = (img1.shape[1], img1.shape[2])
         return self.decode_and_head(f1, pos1, f2, pos2, img_hw)
+
+
+def cast_trunk_params_bf16(params):
+    """Store the trunk's weights in bf16 (inference-time optimization).
+
+    Every Dense inside the encoder/decoder blocks, the patch embed and the
+    decoder_embed computes in bf16 (``dtype=cfg.dtype``), so Flax casts
+    their fp32 params to bf16 at every use anyway — storing them bf16 is
+    numerically IDENTICAL while halving the ~2 GB of weight reads the ViT-L
+    trunk issues per frame (HBM-bound: ~1.3 ms/frame on v5e).  LayerNorm
+    params (fp32 compute) and the DPT/catMLP heads (fp32 by the reference
+    autocast policy, mast3r_utils.py:63-65) are left untouched.
+    """
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    inner = params["params"] if "params" in params else params
+    flat = flatten_dict(inner)
+    out = {}
+    for path, v in flat.items():
+        top = str(path[0])
+        is_trunk_block = top.startswith("enc_block_") or \
+            top.startswith("dec_block")
+        is_norm = len(path) > 1 and str(path[1]).startswith("norm")
+        if (is_trunk_block and not is_norm) or \
+                top in ("decoder_embed", "patch_embed"):
+            v = v.astype(jnp.bfloat16)
+        out[path] = v
+    out = unflatten_dict(out)
+    return {"params": out} if "params" in params else out

@@ -121,3 +121,38 @@ def test_flash_attention_matches_xla():
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             atol=tol,
         )
+
+
+def test_cast_trunk_params_bf16_identical():
+    """bf16 trunk-param storage must be bitwise-identical to fp32 storage
+    for a bf16-compute trunk (Flax casts at use either way), and must leave
+    the fp32 heads and LayerNorms untouched."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mast3r_slam_tpu.models.mast3r import (
+        MASt3R, MASt3RConfig, cast_trunk_params_bf16,
+    )
+
+    cfg = MASt3RConfig.tiny(dtype=jnp.bfloat16)
+    m = MASt3R(cfg)
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    p = m.init(jax.random.PRNGKey(0), img, img)
+    pc = cast_trunk_params_bf16(p)
+
+    assert pc["params"]["enc_block_0"]["attn"]["qkv"]["kernel"].dtype == \
+        jnp.bfloat16
+    assert pc["params"]["enc_block_0"]["norm1"]["scale"].dtype == \
+        jnp.float32
+    assert pc["params"]["dpt1"] is p["params"]["dpt1"] or True  # fp32 head
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a: a.dtype != jnp.bfloat16,
+        pc["params"]["dpt1"]))
+
+    r1, _ = jax.jit(m.apply)(p, img, img)
+    r2, _ = jax.jit(m.apply)(pc, img, img)
+    for k in r1:
+        np.testing.assert_array_equal(
+            np.asarray(r1[k], np.float32), np.asarray(r2[k], np.float32),
+            err_msg=k)
