@@ -85,6 +85,10 @@ def main():
     tcfg = trk.TrackerConfig(C_conf=-1e9, Q_conf=-1e9, rel_error=0.0,
                              delta_norm=0.0)
     K = jnp.eye(3)
+    # use the engine's (bf16-trunk-cast) params in every timed chain — the
+    # production pipeline runs with these (bitwise-identical outputs,
+    # ~1 ms/frame fewer weight reads; see cast_trunk_params_bf16)
+    params = engine.params
 
     def timed_chain(make_step, init_carry, label, readback):
         """(t_N - t_1)/(N-1) with data-dependent chaining + scalar

@@ -56,6 +56,13 @@ class TrackerConfig(NamedTuple):
     # weights.  Identical whenever all components are inliers; validated
     # equivalent on the oracle harness.
     joint_ray_huber: bool = True
+    # Grid stride for the points fed to the GN pose solve (1 =
+    # reference-exact all-pixels).  2 keeps ~49k gated correspondences for
+    # a 7-dof solve — estimator std grows by 2x sqrt-law, far below pixel
+    # noise — and cuts the row-bound match gather + the GN reductions 4x.
+    # Match/keyframe fractions become subgrid estimates; the uniqueness
+    # scatter stays full-res.  Validated ATE-neutral on the oracle.
+    point_subsample: int = 1
 
     @classmethod
     def from_config(cls, cfg: dict) -> "TrackerConfig":
@@ -81,6 +88,7 @@ class TrackerConfig(NamedTuple):
             use_median_score=t.get("filtering_score", "median") == "median",
             use_calib=bool(cfg.get("use_calib", False)),
             joint_ray_huber=bool(t.get("joint_ray_huber", True)),
+            point_subsample=int(t.get("point_subsample", 1)),
         )
 
 
@@ -432,19 +440,39 @@ def track_step(engine_match_asym, frame: Frame, keyframe: Frame, idx_init,
     else:
         meas_k, valid_meas_k = None, None
 
+    # GN point set: full raster or an s x s subgrid (point_subsample).
+    # The gather table stays full-res; only the ROWS (the binding cost —
+    # TPU gathers are row-count-bound) shrink.
+    s = cfg.point_subsample
+    if s > 1 and h % s == 0 and w % s == 0:
+        sub = lambda A: A.reshape(h, w, -1)[::s, ::s].reshape(
+            (h // s) * (w // s), -1)
+        idx_gn = idx_f2k.reshape(h, w)[::s, ::s].reshape(-1)
+        vm_gn = sub(valid_match_k)
+        Qkf_gn, Xk_gn, Ck_gn = sub(Qkf), sub(Xk), sub(Ck)
+        if cfg.use_calib:
+            meas_k_gn = sub(meas_k)
+            valid_meas_k_gn = sub(valid_meas_k)
+        else:
+            meas_k_gn, valid_meas_k_gn = None, None
+    else:
+        idx_gn, vm_gn = idx_f2k, valid_match_k
+        Qkf_gn, Xk_gn, Ck_gn = Qkf, Xk, Ck
+        meas_k_gn, valid_meas_k_gn = meas_k, valid_meas_k
+
     # One packed gather instead of three (Xf, Cf, Qff share idx_f2k and
-    # TPU gathers are row-count-bound: 3 x 196k rows -> 1 x 196k rows)
-    g = jnp.concatenate([Xf, Cf, Qff], axis=-1)[idx_f2k]   # (hw, 5)
+    # TPU gathers are row-count-bound: 3 x hw rows -> 1 x hw/s^2 rows)
+    g = jnp.concatenate([Xf, Cf, Qff], axis=-1)[idx_gn]   # (n_gn, 5)
     Xf_m = g[:, 0:3]
     Cf_m = g[:, 3:4]
-    Qk = jnp.sqrt(g[:, 4:5] * Qkf)
+    Qk = jnp.sqrt(g[:, 4:5] * Qkf_gn)
 
-    # Gating (tracker.py:59-66)
+    # Gating (tracker.py:59-66) — on the GN point set
     valid_Cf = Cf_m > cfg.C_conf
-    valid_Ck = Ck > cfg.C_conf
+    valid_Ck = Ck_gn > cfg.C_conf
     valid_Q = Qk > cfg.Q_conf
-    valid_opt = valid_match_k & valid_Cf & valid_Ck & valid_Q
-    valid_kf = valid_match_k & valid_Q
+    valid_opt = vm_gn & valid_Cf & valid_Ck & valid_Q
+    valid_kf = vm_gn & valid_Q
 
     match_frac = jnp.mean(valid_opt.astype(jnp.float32))
 
@@ -453,12 +481,12 @@ def track_step(engine_match_asym, frame: Frame, keyframe: Frame, idx_init,
     T_init = sim3.rel(T_WCk, T_WCf)
     if cfg.use_calib:
         T_CkCf, ok = opt_pose_calib_sim3(
-            Xf_m, Xk, T_init, Qk, valid_opt.astype(Xf_m.dtype),
-            meas_k, valid_meas_k, K, (h, w), cfg,
+            Xf_m, Xk_gn, T_init, Qk, valid_opt.astype(Xf_m.dtype),
+            meas_k_gn, valid_meas_k_gn, K, (h, w), cfg,
         )
     else:
         T_CkCf, ok = opt_pose_ray_dist_sim3(
-            Xf_m, Xk, T_init, Qk, valid_opt.astype(Xf_m.dtype), cfg
+            Xf_m, Xk_gn, T_init, Qk, valid_opt.astype(Xf_m.dtype), cfg
         )
 
     # New frame pose (tracker.py:95)
