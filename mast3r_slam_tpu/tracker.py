@@ -13,6 +13,7 @@ path (tracker.py:72-93) becomes a NaN-guard flag instead of a try/except.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -20,6 +21,7 @@ import jax.numpy as jnp
 
 from .frame import Frame, FilteringMode, update_pointmap
 from .inference import InferenceEngine
+from .ops import gn_pallas
 from .ops import lie_sim3 as sim3
 from .ops.geometry import (
     constrain_points_to_ray,
@@ -337,9 +339,36 @@ def opt_pose_ray_dist_sim3(Xf, Xk, T_init, Qk, valid, cfg: TrackerConfig):
         T_out = jnp.where(solve_ok, T_new, T)
         return (T_out, new_cost, i + 1, conv | ~solve_ok, ok & solve_ok)
 
+    def body_pallas(state):
+        """Closed-form accumulation in ONE fused Pallas pass per iteration
+        (ops/gn_pallas.py): XLA emits the 27 closed-form reductions as a
+        string of separate kernels whose launch latency dominates the
+        iteration; the kernel computes them in a single sweep."""
+        T, old_cost, i, done, ok = state
+        H, g, new_cost = gn_pallas.gn_accumulate(
+            pallas_pre, T, cfg.huber_k,
+            interpret=jax.default_backend() != "tpu",
+        )
+        tau, spd_ok = solve_spd_small(H, g)
+        solve_ok = spd_ok & jnp.all(jnp.isfinite(tau))
+        tau = jnp.where(solve_ok, tau, 0.0)
+        T_new = sim3.retr(T, tau)
+        conv = check_convergence(
+            cfg.rel_error, cfg.delta_norm, old_cost, new_cost, tau
+        )
+        T_out = jnp.where(solve_ok, T_new, T)
+        return (T_out, new_cost, i + 1, conv | ~solve_ok, ok & solve_ok)
+
     init = (T_init, jnp.inf, jnp.zeros((), jnp.int32),
             jnp.zeros((), bool), jnp.ones((), bool))
-    step = body_closed_form if cfg.joint_ray_huber else body
+    if cfg.joint_ray_huber:
+        if os.environ.get("MAST3R_GN_PALLAS", "1") != "0":
+            pallas_pre = gn_pallas.GNPointData(Xf, rd_k_t, w_ray, w_dist)
+            step = body_pallas
+        else:
+            step = body_closed_form
+    else:
+        step = body
     T, _, _, _, ok = jax.lax.while_loop(cond, step, init)
     return T, ok
 

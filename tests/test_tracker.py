@@ -200,3 +200,78 @@ def test_opt_pose_ray_closed_form_matches_elementwise():
                                atol=3e-2)
     np.testing.assert_allclose(np.asarray(T_e), np.asarray(T_true),
                                atol=3e-2)
+
+
+def test_gn_pallas_matches_closed_form():
+    """The fused Pallas accumulation (interpret mode on CPU) must produce
+    the same H/g/cost as the closed-form XLA path, and the full solver must
+    reach the same pose through either body."""
+    import os
+
+    from mast3r_slam_tpu.ops import gn_pallas
+
+    Xk = scene_points()
+    T_true = rand_pose(0.05, seed=5)
+    Xf = sim3.act(sim3.inv(T_true), Xk)
+    Q = jnp.full((HW, 1), 4.0)
+    valid = jnp.ones((HW, 1))
+    cfg = trk.TrackerConfig()
+
+    vq = (valid * jnp.sqrt(Q))[:, 0]
+    w_ray = (1.0 / cfg.sigma_ray) * vq
+    w_dist = (1.0 / cfg.sigma_dist) * vq
+    dk = jnp.sqrt(jnp.maximum(jnp.sum(Xk * Xk, axis=-1), 1e-24))
+    rd_k_t = jnp.concatenate([Xk.T / dk[None, :], dk[None, :]])
+
+    pre = gn_pallas.GNPointData(Xf, rd_k_t, w_ray, w_dist, block_rows=8)
+    T0 = sim3.identity()
+    H, g, cost = gn_pallas.gn_accumulate(pre, T0, cfg.huber_k,
+                                         interpret=True)
+    # reference: dense accumulation via the generic row expansion with a
+    # JOINT per-point ray huber weight
+    p = sim3.act(T0, Xf)
+    d = jnp.sqrt(jnp.maximum(jnp.sum(p * p, -1), 1e-24))
+    r = p / d[:, None]
+    e = rd_k_t[:3].T - r
+    ed = rd_k_t[3] - d
+    from mast3r_slam_tpu.ops.robust import huber as hub
+    w_r = hub(w_ray * jnp.linalg.norm(e, axis=-1), k=cfg.huber_k) \
+        * w_ray ** 2
+    w_d = hub(w_dist * ed, k=cfg.huber_k) * w_dist ** 2
+    # J blocks: J_ray = [-(I-rr^T)/d | skew(r) | 0]; J_dist = [-r | 0 | -d]
+    n = HW
+    eye = jnp.eye(3)
+    A = (eye[None] - r[:, :, None] * r[:, None, :]) / d[:, None, None]
+    skew_r = jnp.stack([
+        jnp.stack([jnp.zeros(n), -r[:, 2], r[:, 1]], -1),
+        jnp.stack([r[:, 2], jnp.zeros(n), -r[:, 0]], -1),
+        jnp.stack([-r[:, 1], r[:, 0], jnp.zeros(n)], -1)], -2)
+    J_ray = jnp.concatenate([-A, skew_r, jnp.zeros((n, 3, 1))], -1)
+    J_dist = jnp.concatenate([-r, jnp.zeros((n, 3)), -d[:, None]],
+                             -1)[:, None, :]
+    H_ref = (
+        jnp.einsum("nik,n,nil->kl", J_ray, w_r, J_ray)
+        + jnp.einsum("nik,n,nil->kl", J_dist, w_d, J_dist)
+    )
+    g_ref = -(jnp.einsum("nik,n,ni->k", J_ray, w_r, e)
+              + jnp.einsum("nik,n,ni->k", J_dist, w_d, ed[:, None]))
+    cost_ref = 0.5 * (jnp.sum(w_r * jnp.sum(e * e, -1))
+                      + jnp.sum(w_d * ed * ed))
+    scale = float(jnp.max(jnp.abs(H_ref)))
+    np.testing.assert_allclose(np.asarray(H), np.asarray(H_ref),
+                               atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=3e-5 * float(jnp.max(jnp.abs(g_ref))))
+    np.testing.assert_allclose(float(cost), float(cost_ref),
+                               rtol=1e-5)
+
+    # full solve equivalence (pallas default on this CPU run -> interpret)
+    os.environ["MAST3R_GN_PALLAS"] = "1"
+    T_p, ok_p = trk.opt_pose_ray_dist_sim3(
+        Xf, Xk, sim3.identity(), Q, valid, cfg)
+    os.environ["MAST3R_GN_PALLAS"] = "0"
+    T_x, ok_x = trk.opt_pose_ray_dist_sim3(
+        Xf, Xk, sim3.identity(), Q, valid, cfg)
+    os.environ.pop("MAST3R_GN_PALLAS", None)
+    assert bool(ok_p) and bool(ok_x)
+    np.testing.assert_allclose(np.asarray(T_p), np.asarray(T_x), atol=2e-5)
