@@ -136,12 +136,13 @@ def opt_pose_ray_dist_sim3(Xf, Xk, T_init, Qk, valid, cfg: TrackerConfig):
     Returns (T_CkCf, ok).
 
     TPU layout: the whole iteration runs in structure-of-arrays form with
-    the POINT axis last (lanes) — small trailing dims like (n, 4, 7) leave
-    121/128 lanes idle; (rows, n) keeps the VPU full and the normal
-    equations become a handful of (7, n) x (n, 7) MXU matmuls.
+    the POINT axis in the 128-lane dimension.  Three bodies, fastest first:
+    a single-pass Pallas accumulation of the closed-form normal equations
+    (default on TPU; ops/gn_pallas.py), the same closed form as XLA
+    reductions (MAST3R_GN_PALLAS=0), and the reference-exact per-component
+    huber row expansion (joint_ray_huber=False).
     """
     n = Xf.shape[0]
-    Xf_t = Xf.T                                      # (3, n)
     vq = (valid * jnp.sqrt(Qk))[:, 0]                # (n,)
     w_ray = (1.0 / cfg.sigma_ray) * vq
     w_dist = (1.0 / cfg.sigma_dist) * vq

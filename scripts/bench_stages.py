@@ -83,6 +83,7 @@ def main():
         match_cfg=matching.MatchingConfig(coarse_subsample=2,
                                           final_radius=2, coarse_radius=2),
     )  # production matching config (config/base.yaml)
+    params = engine.params  # bf16-trunk-cast (production weights)
     img = jax.random.normal(jax.random.PRNGKey(1), (1, h, w, 3), jnp.float32)
 
     if "enc" in stages:
@@ -114,6 +115,18 @@ def main():
             return (f1 + 1e-12 * X[0, 0, 0, 0], f2)
         timed_chain(dec_step, (feat, feat + 0.01),
                     lambda c: c[0][0, 0, 0], n_chain, "decode_asym",
+                    const=params)
+
+    if "decblocks" in stages:
+        # decoder trunk only (no DPT/catMLP heads): isolates the head cost
+        from mast3r_slam_tpu.models.mast3r import MASt3R
+
+        def db_step(p, c):
+            f1, f2 = c
+            d1, d2 = model.apply(p, f1, pos, f2, pos, method=MASt3R.decode)
+            return (f1 + 1e-12 * d1[-1][0, 0, 0].astype(jnp.float32), f2)
+        timed_chain(db_step, (feat, feat + 0.01),
+                    lambda c: c[0][0, 0, 0], n_chain, "decoder_blocks",
                     const=params)
 
     if "match" in stages:
