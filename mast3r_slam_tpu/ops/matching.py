@@ -73,6 +73,19 @@ class MatchingConfig(NamedTuple):
     # matches on extreme keyframe-reset warps) at ~half the gathered bytes.
     # Ignored when coarse_subsample=1.
     coarse_radius: int = 0
+    # Query grid stride for the LM projection stage alone (0 = same as
+    # coarse_subsample).  4 runs the LM solve on the quarter grid and
+    # 2x-interpolates its position field onto the half grid before the
+    # refine walk — the walk's first dilation (radius*dilation_max reach)
+    # absorbs the coarser interpolation.  Only active under
+    # coarse_subsample=2.  iter_proj is gather-ROW-bound, so queries/16
+    # instead of queries/4.
+    lm_subsample: int = 0
+    # 2 = run the 3D-distance occlusion gate on the half-res query grid
+    # (where the LM positions natively live under coarse_subsample=2) and
+    # 2x2-replicate the verdict, saving a full-res row-bound gather; 1 =
+    # per-pixel gate.  Only active under coarse_subsample=2.
+    occlusion_subsample: int = 1
 
     @classmethod
     def from_dict(cls, d: dict) -> "MatchingConfig":
@@ -89,6 +102,8 @@ class MatchingConfig(NamedTuple):
             coarse_subsample=int(d.get("coarse_subsample", 1)),
             final_radius=int(d.get("final_radius", 0)),
             coarse_radius=int(d.get("coarse_radius", 0)),
+            lm_subsample=int(d.get("lm_subsample", 0)),
+            occlusion_subsample=int(d.get("occlusion_subsample", 1)),
         )
 
 
@@ -528,10 +543,12 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
     )
     cs = cfg.coarse_subsample
     half = cs == 2 and h % 2 == 0 and w % 2 == 0
+    lm4 = half and cfg.lm_subsample == 4 and h % 4 == 0 and w % 4 == 0
     if half:
         h2, w2 = h // 2, w // 2
-        sub = lambda A: A.reshape(b, h, w, -1)[:, ::2, ::2].reshape(
-            b, h2 * w2, -1)
+        s_lm = 4 if lm4 else 2
+        sub = lambda A, s=s_lm: A.reshape(b, h, w, -1)[:, ::s, ::s].reshape(
+            b, (h // s) * (w // s), -1)
         pts3d_n_q = sub(pts3d_norm)
         p_init_q = sub(p_init)
     else:
@@ -542,6 +559,15 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
         max_iter=cfg.max_iter, lambda_init=cfg.lambda_init,
         cost_thresh=cfg.convergence_thresh,
     )
+    if lm4:
+        # LM ran on the quarter grid: interpolate its (full-res-coordinate)
+        # position field up to the half grid for the refine walk
+        h4, w4 = h // 4, w // 4
+        p1 = _upsample2x_field(
+            p1.reshape(b, h4, w4, 2)).reshape(b, h2 * w2, 2)
+        valid_proj2 = jnp.repeat(
+            jnp.repeat(valid_proj2.reshape(b, h4, w4), 2, axis=1),
+            2, axis=2).reshape(b, h2 * w2)
 
     if cfg.radius > 0:
         D21_flat = D21.reshape(b, h * w, -1)
@@ -577,6 +603,23 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
                     # row (<= 600 B, still byte-bound, zero wasted columns)
                     u_pack=(2 * r_coarse + 1) if r_coarse <= 2 else 2,
                 )
+        occl_half = cfg.occlusion_subsample == 2
+        if occl_half:
+            # occlusion gate where the LM positions natively live (half
+            # grid, 4x fewer row-bound gather rows); verdict replicated 2x2
+            idxh = pixel_to_lin(jnp.clip(
+                p1.astype(jnp.int32),
+                0, jnp.asarray([w - 1, h - 1], jnp.int32)), w)
+            X11_flat = X11.reshape(b, h * w, 3)
+            X11_at = jnp.take_along_axis(X11_flat, idxh[..., None], axis=1)
+            X21_h = X21.reshape(b, h, w, 3)[:, ::2, ::2].reshape(
+                b, h2 * w2, 3)
+            dists_h = jnp.linalg.norm(X11_at - X21_h, axis=-1)
+            valid_h = valid_proj2 & (dists_h < cfg.dist_thresh)
+            valid = jnp.repeat(
+                jnp.repeat(valid_h.reshape(b, h2, w2), 2, axis=1),
+                2, axis=2).reshape(b, h * w)
+
         # interpolate both position fields to full resolution
         up = lambda P: _upsample2x_field(
             P.astype(jnp.float32).reshape(b, h2, w2, 2)
@@ -590,17 +633,19 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
             2, axis=2,
         ).reshape(b, h * w)
     else:
+        occl_half = False
         p1_start = p1.astype(jnp.int32)
 
     p1 = p1.astype(jnp.int32)
 
-    # Occlusion check on 3D distance (matching.py:71-76)
-    idx = pixel_to_lin(jnp.clip(
-        p1, 0, jnp.asarray([w - 1, h - 1], jnp.int32)), w)
-    X11_flat = X11.reshape(b, h * w, 3)
-    X11_at = jnp.take_along_axis(X11_flat, idx[..., None], axis=1)
-    dists2 = jnp.linalg.norm(X11_at - X21.reshape(b, h * w, 3), axis=-1)
-    valid = valid_proj2 & (dists2 < cfg.dist_thresh)
+    if not occl_half:
+        # Occlusion check on 3D distance (matching.py:71-76)
+        idx = pixel_to_lin(jnp.clip(
+            p1, 0, jnp.asarray([w - 1, h - 1], jnp.int32)), w)
+        X11_flat = X11.reshape(b, h * w, 3)
+        X11_at = jnp.take_along_axis(X11_flat, idx[..., None], axis=1)
+        dists2 = jnp.linalg.norm(X11_at - X21.reshape(b, h * w, 3), axis=-1)
+        valid = valid_proj2 & (dists2 < cfg.dist_thresh)
 
     if cfg.radius > 0:
         r_final = cfg.final_radius if (half and cfg.final_radius > 0) \

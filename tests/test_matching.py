@@ -302,3 +302,34 @@ def test_match_coarse_radius_agrees():
         both = v_ref[..., 0] & vv[..., 0]
         agree = float(jnp.mean(jnp.where(both, idx == idx_ref, True)))
         assert agree > 0.995, agree
+
+
+def test_match_lm_and_occlusion_subsample_options():
+    """lm_subsample=4 / occlusion_subsample=2 are optional gather-row
+    savers (OFF by default: they keep match indices identical but churn
+    the valid mask at depth boundaries — measured IoU 0.65-0.9 vs the
+    production gate, too loose to default).  They must stay mechanically
+    correct: identical indices on valid pixels, similar valid fraction."""
+    from mast3r_slam_tpu.ops import lie_sim3 as sim3
+
+    h, w = 48, 64
+    v, u = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                        jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    z = jnp.full((h, w), 3.0) + 0.3 * jnp.sin(u / 9.0) * jnp.cos(v / 7.0)
+    fx = fy = 60.0
+    X11 = jnp.stack([(u - w / 2) / fx * z, (v - h / 2) / fy * z, z],
+                    -1)[None]
+    T = sim3.exp(jnp.asarray([0.04, -0.03, 0.02, 0.03, -0.02, 0.04, 0.0]))
+    X21 = sim3.act(T, X11.reshape(1, -1, 3)).reshape(X11.shape)
+    D = unique_descriptors(h, w, 24)
+
+    base = dict(coarse_subsample=2, final_radius=2, coarse_radius=2)
+    idx0, v0 = matching.match(
+        X11, X21, D, D, cfg=matching.MatchingConfig(**base))
+    for kw in (dict(occlusion_subsample=2), dict(lm_subsample=4),
+               dict(occlusion_subsample=2, lm_subsample=4)):
+        idx, vv = matching.match(
+            X11, X21, D, D, cfg=matching.MatchingConfig(**base, **kw))
+        both = v0[..., 0] & vv[..., 0]
+        assert bool(jnp.all(jnp.where(both, idx == idx0, True))), kw
+        assert abs(float(vv.mean()) - float(v0.mean())) < 0.1, kw
