@@ -213,23 +213,11 @@ _RESIDUALS = {
 # ~160 MB of pregathered inputs (same trick as the frame tracker's GN).
 # ---------------------------------------------------------------------------
 
-def _rot_rows(q):
-    """Per-edge rotation matrix entries from unit quaternions q (E, 4),
-    each returned as (E, 1) for broadcasting against (E, C) lanes."""
-    x, y, z, w = (q[:, 0:1], q[:, 1:2], q[:, 2:3], q[:, 3:4])
-    xx, yy, zz = x * x, y * y, z * z
-    xy, xz, yz = x * y, x * z, y * z
-    wx, wy, wz = w * x, w * y, w * z
-    return (
-        (1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)),
-        (2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)),
-        (2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)),
-    )
-
-
 def _act_soa(Tij, Xj):
     """Sim(3) action on SoA points Xj (E, 3, C) -> (px, py, pz) lanes."""
-    R = _rot_rows(Tij[:, 3:7])
+    # (E,) rotation entries -> (E, 1) for broadcasting against (E, C)
+    R = tuple(tuple(e[:, None] for e in row)
+              for row in sim3.quat_rot_entries(Tij[:, 3:7]))
     s = Tij[:, 7:8]
     xj, yj, zj = Xj[:, 0], Xj[:, 1], Xj[:, 2]
     px = s * (R[0][0] * xj + R[0][1] * yj + R[0][2] * zj) + Tij[:, 0:1]

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import lie_sim3 as sim3
+
 # accumulator layout in the (32, 128) output block
 # 0..5   H_tt: xx, xy, xz, yy, yz, zz
 # 6..8   s: sum w_r*r/d (x, y, z)         (the -skew(r)/d trans-rot block)
@@ -150,13 +152,8 @@ class GNPointData:
 
 def _rot_scalars(T):
     """[R00..R22, t, s] (13,) from a Sim3 embedding (8,)."""
-    x, y, z, w = T[3], T[4], T[5], T[6]
-    return jnp.stack([
-        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
-        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
-        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
-        T[0], T[1], T[2], T[7],
-    ])
+    Re = sim3.quat_rot_entries(T[3:7])
+    return jnp.stack([e for row in Re for e in row] + [T[0], T[1], T[2], T[7]])
 
 
 def gn_accumulate(pre: GNPointData, T, huber_k, interpret=False):

@@ -241,17 +241,27 @@ def as_se3(T):
     )
 
 
+def quat_rot_entries(q):
+    """The 9 rotation-matrix entries of unit quaternions q (..., 4) as a
+    3x3 nested tuple of (...)-shaped arrays — the single source of the
+    hand-expanded quaternion-to-matrix form used by the SoA BA residuals,
+    the Pallas GN kernel and sim3_matrix."""
+    x, y, z, w = jnp.moveaxis(q, -1, 0)
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return (
+        (1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)),
+        (2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)),
+        (2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)),
+    )
+
+
 def sim3_matrix(T):
     """Dense 4x4 matrix [[sR, t], [0, 1]] (for tests/export)."""
-    q = q_of(T)
-    x, y, z, w = jnp.moveaxis(q, -1, 0)
+    Re = quat_rot_entries(q_of(T))
     R = jnp.stack(
-        [
-            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
-            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
-            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
-        ],
-        axis=-2,
+        [jnp.stack(list(row), -1) for row in Re], axis=-2,
     )
     sR = s_of(T)[..., None] * R
     top = jnp.concatenate([sR, t_of(T)[..., None]], axis=-1)
