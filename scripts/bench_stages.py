@@ -153,6 +153,29 @@ def main():
         timed_chain(match2_step, jnp.zeros(()), lambda c: c, n_chain,
                     "match_cs2")
 
+    if "matchrt" in stages:
+        # match_cs2 with ALL inputs carry-dependent: in `match` above, X/D
+        # are closed-over constants, so XLA constant-folds the descriptor
+        # quantize + the whole window-pack table build at compile time.  In
+        # the composed frame step those tables are rebuilt from the decode
+        # outputs every frame.  (match) vs (this) isolates how much of the
+        # "composition overhead" is really runtime table-build cost that
+        # the isolated bench folded away.
+        X = jax.random.normal(jax.random.PRNGKey(2), (1, h, w, 3)) \
+            + jnp.asarray([0, 0, 3.0])
+        D = jax.random.normal(jax.random.PRNGKey(3), (1, h, w, 24),
+                              jnp.float32)
+        mcfgrt = matching.MatchingConfig(coarse_subsample=2, final_radius=2,
+                                         coarse_radius=2)
+
+        def matchrt_step(_, c):
+            eps = 1e-12 * c
+            idx, valid = matching.match(X + eps, X + eps, D + eps, D + eps,
+                                        cfg=mcfgrt)
+            return c + 1e-12 * idx[0, 0]
+        timed_chain(matchrt_step, jnp.zeros(()), lambda c: c, n_chain,
+                    "match_cs2_runtime")
+
     if "glue" in stages:
         # track_step with matching stubbed to identity: measures
         # decode + gating + fusion + scatter + GN, i.e. everything EXCEPT
