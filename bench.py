@@ -79,9 +79,10 @@ def main():
     engine = InferenceEngine(
         model, params, (h, w),
         match_cfg=MatchingConfig(dist_thresh=1e9, coarse_subsample=2,
-                                 final_radius=2, coarse_radius=2),
-    )  # coarse_subsample=2 + final_radius=2 + coarse_radius=2 mirror the
-       # production config (config/base.yaml)
+                                 final_radius=1, coarse_radius=2,
+                                 dilation_schedule=(4, 2)),
+    )  # coarse_subsample=2 + final_radius=1 + coarse_radius=2 + the (4,2)
+       # dilation schedule mirror the production config (config/base.yaml)
     tcfg = trk.TrackerConfig(C_conf=-1e9, Q_conf=-1e9, rel_error=0.0,
                              delta_norm=0.0)
     K = jnp.eye(3)

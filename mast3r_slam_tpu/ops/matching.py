@@ -73,6 +73,16 @@ class MatchingConfig(NamedTuple):
     # matches on extreme keyframe-reset warps) at ~half the gathered bytes.
     # Ignored when coarse_subsample=1.
     coarse_radius: int = 0
+    # Coarse dilation schedule under coarse_subsample=2 (empty = the
+    # reference ladder dilation_max, dilation_max-1, ..., 2).  A thinned
+    # descending schedule like (4, 2) keeps the walk's contraction property
+    # as long as each stage's reach (radius_at_stage * d) covers the
+    # previous stage's step size: 4*3=12 >= initial LM error budget,
+    # 2*2=4 >= 4, final 1*2=2 >= 2 — two fewer stages' gather+pack cost.
+    # The first schedule entry always runs at the full `radius`; later
+    # entries use `coarse_radius`.  Validated like coarse_radius (exact on
+    # small warps, >=99.5% on extreme keyframe-reset warps + oracle ATE).
+    dilation_schedule: tuple = ()
     # Query grid stride for the LM projection stage alone (0 = same as
     # coarse_subsample).  4 runs the LM solve on the quarter grid and
     # 2x-interpolates its position field onto the half grid before the
@@ -102,6 +112,8 @@ class MatchingConfig(NamedTuple):
             coarse_subsample=int(d.get("coarse_subsample", 1)),
             final_radius=int(d.get("final_radius", 0)),
             coarse_radius=int(d.get("coarse_radius", 0)),
+            dilation_schedule=tuple(
+                int(x) for x in d.get("dilation_schedule", ())),
             lm_subsample=int(d.get("lm_subsample", 0)),
             occlusion_subsample=int(d.get("occlusion_subsample", 1)),
         )
@@ -586,23 +598,37 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
                 b, h2 * w2, -1)
             # coarsest dilation at the full radius (coverage), inner
             # dilations at coarse_radius (gather bytes)
+            sched = cfg.dilation_schedule or \
+                tuple(range(cfg.dilation_max, 1, -1))
             p1c = refine_matches(
                 D11_r, D21_h, p1c,
-                radius=cfg.radius, dilation_max=cfg.dilation_max,
+                radius=cfg.radius, dilation_max=sched[0],
                 coarse_bits=cfg.coarse_bits,
-                dilation_min=cfg.dilation_max,
+                dilation_min=sched[0],
             )
-            if cfg.dilation_max > 2:
+            if len(sched) > 1:
                 r_coarse = cfg.coarse_radius if cfg.coarse_radius > 0 \
                     else cfg.radius
-                p1c = refine_matches(
-                    D11_r, D21_h, p1c,
-                    radius=r_coarse, dilation_max=cfg.dilation_max - 1,
-                    coarse_bits=cfg.coarse_bits, dilation_min=2,
-                    # k_side <= 5 -> pack the whole window into one gather
-                    # row (<= 600 B, still byte-bound, zero wasted columns)
-                    u_pack=(2 * r_coarse + 1) if r_coarse <= 2 else 2,
-                )
+                # k_side <= 5 -> pack the whole window into one gather
+                # row (<= 600 B, still byte-bound, zero wasted columns)
+                up = (2 * r_coarse + 1) if r_coarse <= 2 else 2
+                contiguous = sched[1:] == tuple(
+                    range(sched[1], sched[-1] - 1, -1))
+                if contiguous:
+                    p1c = refine_matches(
+                        D11_r, D21_h, p1c,
+                        radius=r_coarse, dilation_max=sched[1],
+                        coarse_bits=cfg.coarse_bits, dilation_min=sched[-1],
+                        u_pack=up,
+                    )
+                else:
+                    for dd in sched[1:]:
+                        p1c = refine_matches(
+                            D11_r, D21_h, p1c,
+                            radius=r_coarse, dilation_max=dd,
+                            coarse_bits=cfg.coarse_bits, dilation_min=dd,
+                            u_pack=up,
+                        )
         occl_half = cfg.occlusion_subsample == 2
         if occl_half:
             # occlusion gate where the LM positions natively live (half

@@ -81,7 +81,8 @@ def main():
     engine = InferenceEngine(
         model, params, (h, w),
         match_cfg=matching.MatchingConfig(coarse_subsample=2,
-                                          final_radius=2, coarse_radius=2),
+                                          final_radius=1, coarse_radius=2,
+                                          dilation_schedule=(4, 2)),
     )  # production matching config (config/base.yaml)
     params = engine.params  # bf16-trunk-cast (production weights)
     img = jax.random.normal(jax.random.PRNGKey(1), (1, h, w, 3), jnp.float32)
@@ -175,6 +176,46 @@ def main():
             return c + 1e-12 * idx[0, 0]
         timed_chain(matchrt_step, jnp.zeros(()), lambda c: c, n_chain,
                     "match_cs2_runtime")
+
+    if any(s.startswith("mrt_") for s in stages):
+        # matchrt decomposition: runtime-input matcher with stages disabled.
+        #   mrt_lm    — LM projection + occlusion only (radius=0)
+        #   mrt_fin   — + final d=1 refine only (dilation_max=1)
+        #   mrt_full  — everything (== matchrt)
+        #   mrt_fr1   — everything with final_radius=1
+        # coarse-walk cost = full - fin; final-refine cost = fin - lm.
+        X = jax.random.normal(jax.random.PRNGKey(2), (1, h, w, 3)) \
+            + jnp.asarray([0, 0, 3.0])
+        D = jax.random.normal(jax.random.PRNGKey(3), (1, h, w, 24),
+                              jnp.float32)
+        variants = {
+            "mrt_lm": dict(coarse_subsample=2, radius=0),
+            "mrt_fin": dict(coarse_subsample=2, final_radius=2,
+                            dilation_max=1),
+            "mrt_full": dict(coarse_subsample=2, final_radius=2,
+                             coarse_radius=2),
+            "mrt_fr1": dict(coarse_subsample=2, final_radius=1,
+                            coarse_radius=2),
+            "mrt_s42": dict(coarse_subsample=2, final_radius=1,
+                            coarse_radius=2, dilation_schedule=(4, 2)),
+            "mrt_s42f2": dict(coarse_subsample=2, final_radius=2,
+                              coarse_radius=2, dilation_schedule=(4, 2)),
+        }
+        for name, kw in variants.items():
+            if name not in stages:
+                continue
+            mc = matching.MatchingConfig(**kw)
+
+            def mrt_step(_, c, mc=mc):
+                eps = 1e-12 * c
+                idx, valid = matching.match(
+                    X + eps, X + eps, D + eps, D + eps, cfg=mc)
+                # consume EVERY query's idx and valid: a single-element
+                # readback lets XLA slice the whole per-pixel pipeline down
+                # to one query (measured: radius=0 variant collapsed to ~0)
+                s = jnp.sum(idx) + jnp.sum(valid.astype(jnp.int32))
+                return c + 1e-12 * s.astype(jnp.float32)
+            timed_chain(mrt_step, jnp.zeros(()), lambda c: c, n_chain, name)
 
     if "glue" in stages:
         # track_step with matching stubbed to identity: measures

@@ -333,3 +333,42 @@ def test_match_lm_and_occlusion_subsample_options():
         both = v0[..., 0] & vv[..., 0]
         assert bool(jnp.all(jnp.where(both, idx == idx0, True))), kw
         assert abs(float(vv.mean()) - float(v0.mean())) < 0.1, kw
+
+
+def test_match_dilation_schedule_agrees():
+    """The thinned coarse schedule (4, 2) — each stage's reach covering the
+    previous stage's step — must reproduce the reference-exact all-dilation
+    walk on valid pixels, with final_radius 2 and 1, on both a small warp
+    and an extreme keyframe-reset warp.  (ATE-identical on the oracle
+    harness; adopted as the production schedule for ~2x less coarse-stage
+    gather+pack traffic.)"""
+    from mast3r_slam_tpu.ops import lie_sim3 as sim3
+
+    h, w = 48, 64
+    v, u = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                        jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    z = jnp.full((h, w), 3.0)
+    z = z.at[15:30, 20:45].set(1.5)
+    z = z + 0.3 * jnp.sin(u / 9.0) * jnp.cos(v / 7.0)
+    fx = fy = 60.0
+    X11 = jnp.stack([(u - w / 2) / fx * z, (v - h / 2) / fy * z, z],
+                    -1)[None]
+    D = unique_descriptors(h, w, 24)
+    for xi in ([0.04, -0.03, 0.02, 0.03, -0.02, 0.04, 0.0],
+               [0.15, -0.1, 0.08, 0.10, -0.08, 0.12, 0.05]):
+        T = sim3.exp(jnp.asarray(xi))
+        X21 = sim3.act(T, X11.reshape(1, -1, 3)).reshape(X11.shape)
+        idx_ref, v_ref = matching.match(
+            X11, X21, D, D, cfg=matching.MatchingConfig())
+        # the schedule itself is near-exact (>=0.999 at final_radius=2);
+        # final_radius=1 adds ~0.5% churn of 1-px-off matches (measured
+        # ATE-identical on the oracle)
+        for fr, bar in ((2, 0.999), (1, 0.99)):
+            idx, vv = matching.match(
+                X11, X21, D, D,
+                cfg=matching.MatchingConfig(
+                    coarse_subsample=2, final_radius=fr, coarse_radius=2,
+                    dilation_schedule=(4, 2)))
+            both = v_ref[..., 0] & vv[..., 0]
+            agree = float(jnp.mean(jnp.where(both, idx == idx_ref, True)))
+            assert agree >= bar, (xi, fr, agree)
