@@ -111,9 +111,13 @@ def main():
     if "dec" in stages:
         def dec_step(p, c):
             f1, f2 = c
-            (X, C, D, Q), _ = engine._decode_head_impl(
+            (X, C, D, Q), r2 = engine._decode_head_impl(
                 (h, w), p, f1, pos, f2, pos)
-            return (f1 + 1e-12 * X[0, 0, 0, 0], f2)
+            # consume EVERY output (a single-element readback lets XLA
+            # slice the spatially-local head convs down to one pixel)
+            s = (jnp.sum(X) + jnp.sum(C) + jnp.sum(D) + jnp.sum(Q)
+                 + sum(jnp.sum(a) for a in r2))
+            return (f1 + 1e-12 * s, f2)
         timed_chain(dec_step, (feat, feat + 0.01),
                     lambda c: c[0][0, 0, 0], n_chain, "decode_asym",
                     const=params)
@@ -125,7 +129,9 @@ def main():
         def db_step(p, c):
             f1, f2 = c
             d1, d2 = model.apply(p, f1, pos, f2, pos, method=MASt3R.decode)
-            return (f1 + 1e-12 * d1[-1][0, 0, 0].astype(jnp.float32), f2)
+            s = sum(jnp.sum(a.astype(jnp.float32)) for a in d1) \
+                + sum(jnp.sum(a.astype(jnp.float32)) for a in d2)
+            return (f1 + 1e-12 * s, f2)
         timed_chain(db_step, (feat, feat + 0.01),
                     lambda c: c[0][0, 0, 0], n_chain, "decoder_blocks",
                     const=params)
@@ -137,7 +143,8 @@ def main():
                               jnp.bfloat16)
         def match_step(_, c):
             idx, valid = matching.match(X + 1e-12 * c, X, D, D)
-            return c + 1e-12 * idx[0, 0]
+            s = jnp.sum(idx) + jnp.sum(valid.astype(jnp.int32))
+            return c + 1e-12 * s.astype(jnp.float32)
         timed_chain(match_step, jnp.zeros(()), lambda c: c, n_chain,
                     "match_full")
 
@@ -150,7 +157,8 @@ def main():
 
         def match2_step(_, c):
             idx, valid = matching.match(X + 1e-12 * c, X, D, D, cfg=mcfg)
-            return c + 1e-12 * idx[0, 0]
+            s = jnp.sum(idx) + jnp.sum(valid.astype(jnp.int32))
+            return c + 1e-12 * s.astype(jnp.float32)
         timed_chain(match2_step, jnp.zeros(()), lambda c: c, n_chain,
                     "match_cs2")
 
@@ -173,7 +181,8 @@ def main():
             eps = 1e-12 * c
             idx, valid = matching.match(X + eps, X + eps, D + eps, D + eps,
                                         cfg=mcfgrt)
-            return c + 1e-12 * idx[0, 0]
+            s = jnp.sum(idx) + jnp.sum(valid.astype(jnp.int32))
+            return c + 1e-12 * s.astype(jnp.float32)
         timed_chain(matchrt_step, jnp.zeros(()), lambda c: c, n_chain,
                     "match_cs2_runtime")
 
@@ -269,7 +278,8 @@ def main():
         def dm_step(p, c):
             f1, f2 = c
             out = engine._match_asymmetric_impl(p, f1, pos, f2, pos, idx0)
-            return (f1 + 1e-12 * out[0][0, 0].astype(jnp.float32), f2)
+            s = sum(jnp.sum(a.astype(jnp.float32)) for a in out)
+            return (f1 + 1e-12 * s, f2)
 
         timed_chain(dm_step, (feat, feat + 0.01),
                     lambda c: c[0][0, 0, 0], n_chain, "dec_plus_match",
@@ -293,7 +303,8 @@ def main():
             eps = 1e-12 * X1[0, 0, 0, 0]
             idx, valid = matching.match(
                 Xr + eps, Xr, Dr + eps, Dr, idx_1_to_2_init=idx0, cfg=mcfg2)
-            return (f1 + 1e-12 * idx[0, 0].astype(jnp.float32), f2)
+            s = jnp.sum(idx) + jnp.sum(valid.astype(jnp.int32))
+            return (f1 + 1e-12 * s.astype(jnp.float32), f2)
 
         timed_chain(dm2_step, (feat, feat + 0.01),
                     lambda c: c[0][0, 0, 0], n_chain, "dec_plus_match_indep",
@@ -319,7 +330,8 @@ def main():
             idx, valid = matching.match(
                 relayout(X1), relayout(X2), relayout(D1), relayout(D2),
                 idx_1_to_2_init=idx0, cfg=mcfg3)
-            return (f1 + 1e-12 * idx[0, 0].astype(jnp.float32), f2)
+            s = jnp.sum(idx) + jnp.sum(valid.astype(jnp.int32))
+            return (f1 + 1e-12 * s.astype(jnp.float32), f2)
 
         timed_chain(dm3_step, (feat, feat + 0.01),
                     lambda c: c[0][0, 0, 0], n_chain,
@@ -344,7 +356,8 @@ def main():
                 (X1, C1, D1, Q1), (X2, C2, D2, Q2) = engine._decode_head(
                     params, f1, pos, f2, pos)
                 idx, valid = jit_match(X1, X2, D1, D2)
-                f1 = f1 + 1e-12 * idx[0, 0].astype(jnp.float32)
+                s = jnp.sum(idx) + jnp.sum(valid.astype(jnp.int32))
+                f1 = f1 + 1e-12 * s.astype(jnp.float32)
             return f1
 
         t0 = time.time()
