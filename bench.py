@@ -61,7 +61,10 @@ def main():
         cfg = MASt3RConfig.tiny()
         h, w = 96, 128
     else:
-        cfg = MASt3RConfig.vit_large()
+        # production config: bf16 head compute (fp32 postprocess) — the
+        # CLI default (main.py --fp32-head restores the exact reference
+        # autocast policy); acceptance-tested in tests/test_model.py
+        cfg = MASt3RConfig.vit_large(head_dtype=jnp.bfloat16)
         h, w = 384, 512
 
     log(f"bench: devices={jax.devices()} model="

@@ -48,6 +48,10 @@ def parse_args():
                    help="oracle engine from the clip's oracle.npz "
                         "(synthetic clips; full-system verification without "
                         "checkpoint weights)")
+    p.add_argument("--fp32-head", action="store_true",
+                   help="run the DPT/catMLP heads in float32 (the exact "
+                        "reference autocast policy) instead of the default "
+                        "bf16-compute/fp32-postprocess fast path")
     p.add_argument("--int8-encoder", action="store_true",
                    help="INT8-quantized encoder (fork TensorRT-INT8 parity; "
                         "2x MXU peak on v5e)")
@@ -61,8 +65,11 @@ def parse_args():
 def load_model_and_params(args, jax):
     from mast3r_slam_tpu.models.mast3r import MASt3R, MASt3RConfig
 
+    import jax.numpy as _jnp
+
+    head_dtype = _jnp.float32 if args.fp32_head else _jnp.bfloat16
     if args.tiny_model:
-        cfg = MASt3RConfig.tiny()
+        cfg = MASt3RConfig.tiny(head_dtype=head_dtype)
         model = MASt3R(cfg)
         import jax.numpy as jnp
 
@@ -83,7 +90,7 @@ def load_model_and_params(args, jax):
         load_torch_checkpoint,
     )
 
-    cfg = MASt3RConfig.vit_large()
+    cfg = MASt3RConfig.vit_large(head_dtype=head_dtype)
     sd, _ = load_torch_checkpoint(str(ckpt))
     params = convert_state_dict(sd, cfg.enc_depth, cfg.dec_depth)
     model = MASt3R(cfg)

@@ -55,6 +55,14 @@ class MASt3RConfig:
     conf_vmin: float = 1.0       # conf_mode ('exp', 1, inf)
     desc_conf_vmin: float = 0.0  # desc_conf_mode ('exp', 0, inf)
     dtype: Any = jnp.bfloat16    # trunk compute dtype
+    # Head (DPT + catMLP) compute dtype.  float32 reproduces the reference
+    # autocast policy (fp32 heads, mast3r_utils.py:63-65) and is what the
+    # torch-parity tests check.  bfloat16 halves the head's HBM traffic and
+    # conv I/O (the heads are ~11 ms of the 384x512 frame vs ~3 ms for the
+    # whole decoder trunk) with fp32 accumulation and fp32 postprocess;
+    # acceptance-tested against the fp32 head (cosine similarity, like the
+    # fork's own INT8-encoder methodology).  Params stay fp32 either way.
+    head_dtype: Any = jnp.float32
 
     @property
     def hooks(self):
@@ -272,13 +280,16 @@ def bilinear_resize_align_corners(x, out_h, out_w):
 class ResidualConvUnit(nn.Module):
     """relu-conv-relu-conv residual (reference dpt_block.py:79-142)."""
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         h = nn.relu(x)
-        h = nn.Conv(self.features, (3, 3), padding=1, name="conv1")(h)
+        h = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
         h = nn.relu(h)
-        h = nn.Conv(self.features, (3, 3), padding=1, name="conv2")(h)
+        h = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
         return x + h
 
 
@@ -286,15 +297,19 @@ class FeatureFusionBlock(nn.Module):
     """DPT refinenet (reference dpt_block.py:144-218): optional skip through
     rcu1, then rcu2, 2x bilinear (align_corners) upsample, 1x1 out conv."""
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, skip=None):
         if skip is not None:
-            x = x + ResidualConvUnit(self.features, name="resConfUnit1")(skip)
-        x = ResidualConvUnit(self.features, name="resConfUnit2")(x)
+            x = x + ResidualConvUnit(self.features, self.dtype,
+                                     name="resConfUnit1")(skip)
+        x = ResidualConvUnit(self.features, self.dtype,
+                             name="resConfUnit2")(x)
         B, H, W, C = x.shape
         x = bilinear_resize_align_corners(x, 2 * H, 2 * W)
-        return nn.Conv(self.features, (1, 1), name="out_conv")(x)
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                       name="out_conv")(x)
 
 
 class TokensToImage(nn.Module):
@@ -305,20 +320,23 @@ class TokensToImage(nn.Module):
     3x3 stride-2 conv (reference dpt_block.py:341-410)."""
     out_dim: int
     scale: int  # 4, 2, 1, or -2 (meaning stride-2 down)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         # x: (B, nh, nw, C)
-        x = nn.Conv(self.out_dim, (1, 1), name="project")(x)
+        x = nn.Conv(self.out_dim, (1, 1), dtype=self.dtype,
+                    name="project")(x)
         if self.scale > 1:
             s = self.scale
             B, H, W, C = x.shape
-            x = nn.Dense(C * s * s, name="up")(x)  # == ConvTranspose k=s,p=0
+            x = nn.Dense(C * s * s, dtype=self.dtype,
+                         name="up")(x)  # == ConvTranspose k=s,p=0
             x = x.reshape(B, H, W, s, s, C)
             x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * s, W * s, C)
         elif self.scale == -2:
             x = nn.Conv(self.out_dim, (3, 3), strides=2, padding=1,
-                        name="down")(x)
+                        dtype=self.dtype, name="down")(x)
         return x
 
 
@@ -335,39 +353,40 @@ class DPTHead(nn.Module):
         H, W = img_hw
         p = self.cfg.patch_size
         nh, nw = H // p, W // p
+        hd = self.cfg.head_dtype
         feats = []
         scales = (4, 2, 1, -2)
         for i, (tok, ld, sc) in enumerate(
             zip(hooked, self.cfg.layer_dims, scales)
         ):
             x = tok.reshape(tok.shape[0], nh, nw, tok.shape[-1])
-            x = TokensToImage(ld, sc, name=f"act_{i}")(x)
+            x = TokensToImage(ld, sc, hd, name=f"act_{i}")(x)
             x = nn.Conv(self.cfg.feature_dim, (3, 3), padding=1,
-                        use_bias=False, name=f"layer{i + 1}_rn")(x)
+                        use_bias=False, dtype=hd,
+                        name=f"layer{i + 1}_rn")(x)
             feats.append(x)
 
-        path = FeatureFusionBlock(self.cfg.feature_dim, name="refinenet4")(
-            feats[3]
-        )
+        path = FeatureFusionBlock(self.cfg.feature_dim, hd,
+                                  name="refinenet4")(feats[3])
         path = path[:, : feats[2].shape[1], : feats[2].shape[2]]
-        path = FeatureFusionBlock(self.cfg.feature_dim, name="refinenet3")(
-            path, feats[2]
-        )
-        path = FeatureFusionBlock(self.cfg.feature_dim, name="refinenet2")(
-            path, feats[1]
-        )
-        path = FeatureFusionBlock(self.cfg.feature_dim, name="refinenet1")(
-            path, feats[0]
-        )
+        path = FeatureFusionBlock(self.cfg.feature_dim, hd,
+                                  name="refinenet3")(path, feats[2])
+        path = FeatureFusionBlock(self.cfg.feature_dim, hd,
+                                  name="refinenet2")(path, feats[1])
+        path = FeatureFusionBlock(self.cfg.feature_dim, hd,
+                                  name="refinenet1")(path, feats[0])
 
-        x = nn.Conv(self.cfg.feature_dim // 2, (3, 3), padding=1,
+        x = nn.Conv(self.cfg.feature_dim // 2, (3, 3), padding=1, dtype=hd,
                     name="head_conv1")(path)
         B, h2, w2, _ = x.shape
         x = bilinear_resize_align_corners(x, 2 * h2, 2 * w2)
-        x = nn.Conv(self.cfg.last_dim, (3, 3), padding=1, name="head_conv2")(x)
+        x = nn.Conv(self.cfg.last_dim, (3, 3), padding=1, dtype=hd,
+                    name="head_conv2")(x)
         x = nn.relu(x)
-        x = nn.Conv(self.num_channels, (1, 1), name="head_conv3")(x)
-        return x  # (B, H, W, num_channels)
+        x = nn.Conv(self.num_channels, (1, 1), dtype=hd,
+                    name="head_conv3")(x)
+        # postprocess (exp-norm / conf mapping) always runs fp32
+        return x.astype(jnp.float32)  # (B, H, W, num_channels)
 
 
 class LocalFeaturesHead(nn.Module):
@@ -383,8 +402,9 @@ class LocalFeaturesHead(nn.Module):
         nch = self.cfg.local_feat_dim + int(self.cfg.two_confs)
         x = jnp.concatenate([enc_tok, dec_tok], axis=-1)
         idim = x.shape[-1]
-        x = Mlp(int(4.0 * idim), nch * p * p, dtype=jnp.float32,
+        x = Mlp(int(4.0 * idim), nch * p * p, dtype=self.cfg.head_dtype,
                 name="head_local_features")(x)
+        x = x.astype(jnp.float32)  # postprocess (L2-norm, exp) stays fp32
         # torch pixel_shuffle channel layout: c * p^2 + a * p + b
         B = x.shape[0]
         x = x.reshape(B, nh, nw, nch, p, p)

@@ -71,7 +71,8 @@ def main():
     if small:
         cfg = MASt3RConfig.tiny(); h, w = 96, 128
     else:
-        cfg = MASt3RConfig.vit_large(); h, w = 384, 512
+        cfg = MASt3RConfig.vit_large(head_dtype=jnp.bfloat16)
+        h, w = 384, 512
     hw = h * w
     log(f"devices={jax.devices()} res={h}x{w} chain={n_chain} stages={stages}")
 

@@ -156,3 +156,40 @@ def test_cast_trunk_params_bf16_identical():
         np.testing.assert_array_equal(
             np.asarray(r1[k], np.float32), np.asarray(r2[k], np.float32),
             err_msg=k)
+
+
+def test_bf16_head_acceptance(tiny_model):
+    """head_dtype=bfloat16 (production fast path: bf16 conv compute, fp32
+    postprocess) must stay directionally faithful to the fp32 reference
+    head: pointmap/descriptor cosine similarity ~1 and small relative depth
+    error — the same acceptance methodology as the fork's INT8 encoder
+    benchmark (successful_quantizer.py:388-442)."""
+    model32, params, cfg = tiny_model
+    model16 = MASt3R(
+        MASt3RConfig.tiny(head_dtype=jnp.bfloat16))  # same param structure
+
+    h, w = 32, 48
+    rng = np.random.default_rng(1)
+    img1 = jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32)
+    img2 = jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32)
+
+    r32, _ = model32.apply(params, img1, img2)
+    r16, _ = model16.apply(params, img1, img2)
+
+    def cos(a, b):
+        a = np.asarray(a, np.float64).reshape(-1, a.shape[-1])
+        b = np.asarray(b, np.float64).reshape(-1, b.shape[-1])
+        num = (a * b).sum(-1)
+        den = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12
+        return (num / den).mean()
+
+    assert r16["pts3d"].dtype == jnp.float32
+    assert cos(r32["pts3d"], r16["pts3d"]) > 0.999
+    assert cos(r32["desc"], r16["desc"]) > 0.999
+    d32 = np.linalg.norm(np.asarray(r32["pts3d"]), axis=-1)
+    d16 = np.linalg.norm(np.asarray(r16["pts3d"]), axis=-1)
+    rel = np.abs(d32 - d16) / (np.abs(d32) + 1e-6)
+    assert rel.mean() < 0.02, rel.mean()
+    c32 = np.asarray(r32["conf"])
+    c16 = np.asarray(r16["conf"])
+    assert np.abs(c32 - c16).mean() / (np.abs(c32).mean() + 1e-9) < 0.05
