@@ -45,10 +45,11 @@ class InferenceEngine:
                 os.environ.get("MAST3R_BF16_PARAMS", "1") != "0":
             # Bitwise-identical (those modules compute in bf16 anyway) but
             # halves the ~2 GB/frame of trunk weight reads — see
-            # cast_trunk_params_bf16.
+            # cast_trunk_params_bf16.  Heads included iff they compute bf16.
             from .models.mast3r import cast_trunk_params_bf16
 
-            params = cast_trunk_params_bf16(params)
+            params = cast_trunk_params_bf16(
+                params, head_bf16=model.cfg.head_dtype == jnp.bfloat16)
         self.params = params
         self.img_hw = img_hw
         self.downsample = downsample

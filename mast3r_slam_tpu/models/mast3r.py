@@ -535,7 +535,7 @@ class MASt3R(nn.Module):
         return self.decode_and_head(f1, pos1, f2, pos2, img_hw)
 
 
-def cast_trunk_params_bf16(params):
+def cast_trunk_params_bf16(params, head_bf16=False):
     """Store the trunk's weights in bf16 (inference-time optimization).
 
     Every Dense inside the encoder/decoder blocks, the patch embed and the
@@ -543,8 +543,13 @@ def cast_trunk_params_bf16(params):
     their fp32 params to bf16 at every use anyway — storing them bf16 is
     numerically IDENTICAL while halving the ~2 GB of weight reads the ViT-L
     trunk issues per frame (HBM-bound: ~1.3 ms/frame on v5e).  LayerNorm
-    params (fp32 compute) and the DPT/catMLP heads (fp32 by the reference
-    autocast policy, mast3r_utils.py:63-65) are left untouched.
+    params (fp32 compute) are left untouched.
+
+    ``head_bf16``: when the model runs with head_dtype=bfloat16, the
+    DPT/catMLP head weights (~117 M params — the catMLP MLPs dominate) are
+    likewise cast at every use, so storing them bf16 is identical while
+    halving ~470 MB/frame of head weight reads.  Keep False for the exact
+    fp32-head reference policy (mast3r_utils.py:63-65).
     """
     from flax.traverse_util import flatten_dict, unflatten_dict
 
@@ -556,8 +561,10 @@ def cast_trunk_params_bf16(params):
         is_trunk_block = top.startswith("enc_block_") or \
             top.startswith("dec_block")
         is_norm = len(path) > 1 and str(path[1]).startswith("norm")
+        is_head = top in ("dpt1", "dpt2", "local1", "local2")
         if (is_trunk_block and not is_norm) or \
-                top in ("decoder_embed", "patch_embed"):
+                top in ("decoder_embed", "patch_embed") or \
+                (head_bf16 and is_head):
             v = v.astype(jnp.bfloat16)
         out[path] = v
     out = unflatten_dict(out)

@@ -137,6 +137,37 @@ def main():
                     lambda c: c[0][0, 0, 0], n_chain, "decoder_blocks",
                     const=params)
 
+    if "dpthead" in stages or "catmlp" in stages:
+        # head ablation from fixed decoder tokens (B=1, ONE view: the frame
+        # cost is ~2x each).  Full consumption (sum of outputs).
+        key = jax.random.PRNGKey(11)
+        n_tok = engine.n_patches
+        toks = [jax.random.normal(key, (1, n_tok, cfg.enc_embed_dim),
+                                  jnp.float32)] + [
+            jax.random.normal(jax.random.PRNGKey(12 + i),
+                              (1, n_tok, cfg.dec_embed_dim), jnp.float32)
+            for i in range(cfg.dec_depth)
+        ]
+
+        if "dpthead" in stages:
+            def dpt_step(p, c):
+                t0c = [t + 1e-12 * c for t in toks]
+                hooked = [t0c[hh].astype(jnp.float32) for hh in cfg.hooks]
+                out = model.apply(
+                    p, method=lambda m: m.dpt1(hooked, (h, w)))
+                return c + 1e-12 * jnp.sum(out)
+            timed_chain(dpt_step, jnp.zeros(()), lambda c: c, n_chain,
+                        "dpt_head_1view", const=params)
+
+        if "catmlp" in stages:
+            def cat_step(p, c):
+                out = model.apply(
+                    p, method=lambda m: m.local1(
+                        toks[0] + 1e-12 * c, toks[-1] + 1e-12 * c, (h, w)))
+                return c + 1e-12 * jnp.sum(out)
+            timed_chain(cat_step, jnp.zeros(()), lambda c: c, n_chain,
+                        "catmlp_head_1view", const=params)
+
     if "match" in stages:
         X = jax.random.normal(jax.random.PRNGKey(2), (1, h, w, 3)) \
             + jnp.asarray([0, 0, 3.0])

@@ -193,3 +193,24 @@ def test_bf16_head_acceptance(tiny_model):
     c32 = np.asarray(r32["conf"])
     c16 = np.asarray(r16["conf"])
     assert np.abs(c32 - c16).mean() / (np.abs(c32).mean() + 1e-9) < 0.05
+
+
+def test_cast_head_params_bf16_identical():
+    """head_bf16=True param storage must be bitwise-identical for a
+    bf16-compute head (Flax casts at use either way)."""
+    from mast3r_slam_tpu.models.mast3r import cast_trunk_params_bf16
+
+    cfg = MASt3RConfig.tiny(dtype=jnp.bfloat16, head_dtype=jnp.bfloat16)
+    m = MASt3R(cfg)
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    p = m.init(jax.random.PRNGKey(0), img, img)
+    pc = cast_trunk_params_bf16(p, head_bf16=True)
+    assert pc["params"]["local1"]["head_local_features"]["fc1"][
+        "kernel"].dtype == jnp.bfloat16
+
+    r1, _ = jax.jit(m.apply)(p, img, img)
+    r2, _ = jax.jit(m.apply)(pc, img, img)
+    for k in r1:
+        np.testing.assert_array_equal(
+            np.asarray(r1[k], np.float32), np.asarray(r2[k], np.float32),
+            err_msg=k)
