@@ -55,7 +55,7 @@ def main():
     from mast3r_slam_tpu.ops.matching import MatchingConfig
 
     small = os.environ.get("BENCH_SMALL") == "1"
-    N = int(os.environ.get("BENCH_CHAIN", "8"))
+    N = int(os.environ.get("BENCH_CHAIN", "16"))  # noise/(N-1); 8 showed +-2 ms swings
 
     if small:
         cfg = MASt3RConfig.tiny()
