@@ -233,6 +233,8 @@ def main():
             "mrt_lm": dict(coarse_subsample=2, radius=0),
             "mrt_fin": dict(coarse_subsample=2, final_radius=2,
                             dilation_max=1),
+            "mrt_fin1": dict(coarse_subsample=2, final_radius=1,
+                             dilation_max=1),
             "mrt_full": dict(coarse_subsample=2, final_radius=2,
                              coarse_radius=2),
             "mrt_fr1": dict(coarse_subsample=2, final_radius=1,
