@@ -90,10 +90,17 @@ def load_model_and_params(args, jax):
         load_torch_checkpoint,
     )
 
+    from mast3r_slam_tpu.models.convert import assert_params_cover
+
     cfg = MASt3RConfig.vit_large(head_dtype=head_dtype)
     sd, _ = load_torch_checkpoint(str(ckpt))
-    params = convert_state_dict(sd, cfg.enc_depth, cfg.dec_depth)
+    # strict: every ckpt key consumed, every model param initialized
+    # (dust3r/model.py:27-43 loads strict=False and merely prints; a
+    # silently dropped tensor here would corrupt the accuracy north star)
+    params = convert_state_dict(sd, cfg.enc_depth, cfg.dec_depth,
+                                strict=True)
     model = MASt3R(cfg)
+    assert_params_cover(params, model, (384, 512))
     return model, params
 
 

@@ -72,10 +72,13 @@ def _gate_edges(idx_i2j, idx_j2i, valid_match_j, valid_match_i,
     return (Qj, Qi, valid_j.mean(axis=1), valid_i.mean(axis=1))
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _write_poses(T_arena, Twc_new, upd_idx):
     """Scatter optimized poses back into the arena; out-of-range indices
-    (pinned/padded rows) are dropped."""
+    (pinned/padded rows) are dropped.  NOT donating: the pose table is tiny
+    (buffer x 8 floats) and the un-donated old buffer is what makes the
+    threaded frontend/backend overlap safe (the frontend may hold a
+    reference to the pre-solve arena pytree)."""
     return T_arena.at[upd_idx].set(Twc_new, mode="drop")
 
 
@@ -142,6 +145,30 @@ class FactorGraph:
 
     # -- edge construction --------------------------------------------------
 
+    def _grow(self, needed: int):
+        """Grow the edge store to the next power-of-two bucket >= needed.
+        The reference grows its edge tensors unbounded per add
+        (global_opt.py:91-98); here growth happens once per size class so
+        the jitted write/solve executables recompile at most
+        log2(final/initial) times over a whole run."""
+        E2 = _next_bucket(needed, self.max_edges * 2)
+        pad = E2 - self.max_edges
+        self.ii = np.concatenate([self.ii, np.zeros((pad,), np.int32)])
+        self.jj = np.concatenate([self.jj, np.zeros((pad,), np.int32)])
+
+        def grow(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+            )
+
+        self.idx_ii2jj = grow(self.idx_ii2jj)
+        self.idx_jj2ii = grow(self.idx_jj2ii)
+        self.valid_match_j = grow(self.valid_match_j)
+        self.valid_match_i = grow(self.valid_match_i)
+        self.Q_ii2jj = grow(self.Q_ii2jj)
+        self.Q_jj2ii = grow(self.Q_jj2ii)
+        self.max_edges = E2
+
     def add_factors(self, arena: KeyframeArena, ii, jj, min_match_frac,
                     is_reloc: bool = False) -> bool:
         """Symmetric decode+match + two-directional gating
@@ -183,10 +210,7 @@ class FactorGraph:
         if n_new == 0:
             return False
         if self.n_edges + n_new > self.max_edges:
-            raise RuntimeError(
-                f"factor graph overflow: {self.n_edges}+{n_new} > "
-                f"{self.max_edges} (raise local_opt.max_edges)"
-            )
+            self._grow(self.n_edges + n_new)
 
         # slot per batch row: next free slot for accepted, E_max (drop) else
         slots = np.full((B_pad,), self.max_edges, np.int64)
@@ -209,15 +233,22 @@ class FactorGraph:
         n = self.n_edges
         return np.unique(np.concatenate([self.ii[:n], self.jj[:n]]))
 
-    def _solve(self, arena: KeyframeArena, residual_type: str):
+    def solve_poses(self, arena: KeyframeArena, residual_type: str):
+        """Run the GN solve on ``arena`` (a consistent snapshot) WITHOUT
+        writing back.  Returns ``(upd_idx, Twc_new, stats)`` — the caller
+        scatters ``Twc_new`` rows at ``upd_idx`` into whatever arena is
+        current (reference write-back discipline, global_opt.py:160-161:
+        only the touched, non-pinned keyframes are updated, so keyframes
+        appended concurrently by the frontend are never clobbered).
+        Returns ``None`` when there is nothing to solve."""
         pin = self.cfg.pin
         n = self.n_edges
         if n == 0:
-            return arena, None
+            return None
         unique = self.get_unique_kf_idx()
         P = len(unique)
         if P <= pin:
-            return arena, None
+            return None
 
         E_bucket = _next_bucket(n, 4)
         P_pad = _next_bucket(P, 2)
@@ -250,15 +281,21 @@ class FactorGraph:
             E_bucket, residual_type, (w, h), self.cfg,
             residual_type == "calib",
         )
-        # scatter back the non-pinned unique poses; pinned/padded rows get
-        # an out-of-range target and are dropped
+        # non-pinned unique poses get scattered back by the caller;
+        # pinned/padded rows get an out-of-range target and are dropped
         buffer = arena.T_WC.shape[0]
         upd = np.full((P_pad,), buffer, np.int64)
         upd[pin:P] = unique[pin:]
-        arena = arena.replace(
-            T_WC=_write_poses(arena.T_WC, Twc_new, jnp.asarray(upd))
-        )
-        return arena, (int(iters), float(delta), bool(ok))
+        return (jnp.asarray(upd), Twc_new,
+                (int(iters), float(delta), bool(ok)))
+
+    def _solve(self, arena: KeyframeArena, residual_type: str):
+        res = self.solve_poses(arena, residual_type)
+        if res is None:
+            return arena, None
+        upd, Twc_new, stats = res
+        arena = arena.replace(T_WC=_write_poses(arena.T_WC, Twc_new, upd))
+        return arena, stats
 
     def solve_GN_rays(self, arena: KeyframeArena):
         """global_opt.py:123-161."""

@@ -123,30 +123,65 @@ def _dpt(sd, prefix):
     for k in range(1, 5):
         rn = f"{prefix}.scratch.refinenet{k}"
         out[f"refinenet{k}"] = {
-            "resConfUnit1": {
-                "conv1": _conv(sd, f"{rn}.resConfUnit1.conv1"),
-                "conv2": _conv(sd, f"{rn}.resConfUnit1.conv2"),
-            },
             "resConfUnit2": {
                 "conv1": _conv(sd, f"{rn}.resConfUnit2.conv1"),
                 "conv2": _conv(sd, f"{rn}.resConfUnit2.conv2"),
             },
             "out_conv": _conv(sd, f"{rn}.out_conv"),
         }
+        rcu1 = {
+            "conv1": _conv(sd, f"{rn}.resConfUnit1.conv1"),
+            "conv2": _conv(sd, f"{rn}.resConfUnit1.conv2"),
+        }
+        if k < 4:
+            out[f"refinenet{k}"]["resConfUnit1"] = rcu1
+        # refinenet4 receives no skip input, so its resConfUnit1 weights
+        # exist in the checkpoint but are dead in the reference as well
+        # (dpt_block.py FeatureFusionBlock with a single input); consume
+        # them for strict accounting, emit nothing.
     out["head_conv1"] = _conv(sd, f"{prefix}.head.0")
     out["head_conv2"] = _conv(sd, f"{prefix}.head.2")
     out["head_conv3"] = _conv(sd, f"{prefix}.head.4")
     return out
 
 
-def convert_state_dict(sd: dict, enc_depth: int, dec_depth: int) -> dict:
-    """Torch state dict -> flax params dict {'params': ...} for MASt3R."""
+class _TrackingDict(dict):
+    """Dict recording which keys were read — powers the strict converter's
+    'every checkpoint tensor consumed' assertion."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+
+# Checkpoint tensors that exist but are not used at inference (the reference
+# loads with strict=False, dust3r/model.py:41, and these stay unused there
+# too): the CroCo pretraining mask token and absolute pos embeddings (None
+# for RoPE models but tolerated if present).
+ALLOWED_UNUSED = ("mask_token", "enc_pos_embed", "dec_pos_embed")
+
+
+def convert_state_dict(sd: dict, enc_depth: int, dec_depth: int,
+                       strict: bool = False,
+                       allowed_unused=ALLOWED_UNUSED) -> dict:
+    """Torch state dict -> flax params dict {'params': ...} for MASt3R.
+
+    ``strict=True`` raises if any checkpoint key is neither consumed by the
+    conversion nor in ``allowed_unused`` — a silently dropped tensor
+    (renamed key, architecture drift) fails loudly instead of producing a
+    subtly wrong model.  Pair with :func:`assert_params_cover` for the
+    other direction (every model parameter initialized from the ckpt)."""
     # dec_blocks2 duplication rule (dust3r/model.py:90-97)
+    sd = _TrackingDict(sd)
     if not any(k.startswith("dec_blocks2") for k in sd):
-        sd = dict(sd)
         for k in list(sd):
             if k.startswith("dec_blocks."):
-                sd[k.replace("dec_blocks.", "dec_blocks2.")] = sd[k]
+                k2 = k.replace("dec_blocks.", "dec_blocks2.")
+                dict.__setitem__(sd, k2, dict.__getitem__(sd, k))
 
     params = {
         "patch_embed": {"proj": _patch_proj(sd, "patch_embed.proj")},
@@ -166,7 +201,62 @@ def convert_state_dict(sd: dict, enc_depth: int, dec_depth: int) -> dict:
                 sd, f"downstream_head{n}.head_local_features"
             )
         }
+
+    if strict:
+        unconsumed = sorted(
+            k for k in sd
+            if k not in sd.consumed
+            and not any(k == a or k.startswith(a + ".")
+                        for a in allowed_unused)
+        )
+        if unconsumed:
+            raise ValueError(
+                f"strict conversion: {len(unconsumed)} checkpoint keys were "
+                f"not consumed (first 20): {unconsumed[:20]}"
+            )
     return {"params": params}
+
+
+def _tree_paths(tree, prefix=""):
+    """Flatten a nested params dict into {'a/b/c': leaf}."""
+    out = {}
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_tree_paths(v, p))
+        else:
+            out[p] = v
+    return out
+
+
+def assert_params_cover(converted: dict, model, img_hw) -> None:
+    """Assert the converted params initialize EVERY parameter of ``model``
+    with matching shapes (the other half of strict loading: no Flax param
+    silently left at random init).  Uses jax.eval_shape so no compute or
+    memory is spent on the ViT-L init."""
+    import jax
+    import jax.numpy as jnp
+
+    h, w = img_hw
+    img = jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32)
+    expected = jax.eval_shape(model.init, jax.random.PRNGKey(0), img, img)
+    exp = _tree_paths(expected["params"], "params")
+    got = _tree_paths(converted["params"], "params")
+    missing = sorted(set(exp) - set(got))
+    extra = sorted(set(got) - set(exp))
+    if missing or extra:
+        raise ValueError(
+            f"param tree mismatch: missing {missing[:10]} "
+            f"(+{max(0, len(missing) - 10)} more), extra {extra[:10]} "
+            f"(+{max(0, len(extra) - 10)} more)"
+        )
+    bad = [
+        (k, tuple(got[k].shape), tuple(exp[k].shape))
+        for k in exp
+        if tuple(got[k].shape) != tuple(exp[k].shape)
+    ]
+    if bad:
+        raise ValueError(f"param shape mismatches: {bad[:10]}")
 
 
 def load_torch_checkpoint(path: str):

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import queue
 import threading
-import time
 from typing import Optional
 
 import jax
@@ -102,10 +101,20 @@ class SLAMSystem:
                 frame, X[0], C[0], self.filtering_mode, self._median_score
             )
         )
+        # Arena writes donate the old buffers (in-place update, no copy of
+        # the multi-GB arena) — UNLESS the backend thread currently holds a
+        # snapshot of the arena pytree, in which case donation would delete
+        # buffers the backend is still reading ("array has been deleted").
+        # The non-donating twins compile lazily and only ever run while a
+        # backend snapshot is live (threaded mode), so the common path keeps
+        # zero-copy semantics.
+        _set_last_fn = lambda arena, fr: arena_set(arena, arena.n_size - 1, fr)  # noqa: E731
         self._append = jax.jit(arena_append, donate_argnums=(0,))
-        self._set_last = jax.jit(
-            lambda arena, fr: arena_set(arena, arena.n_size - 1, fr),
-            donate_argnums=(0,),
+        self._append_nodonate = jax.jit(arena_append)
+        self._set_last = jax.jit(_set_last_fn, donate_argnums=(0,))
+        self._set_last_nodonate = jax.jit(_set_last_fn)
+        self._merge_poses = jax.jit(
+            lambda T, Twc_new, upd: T.at[upd].set(Twc_new, mode="drop")
         )
 
         # backend plumbing
@@ -113,6 +122,8 @@ class SLAMSystem:
         self._backend_thread: Optional[threading.Thread] = None
         self._terminate = False
         self._lock = threading.Lock()
+        self._readers = 0  # live backend snapshots of self.arena
+        self._backend_error = None
         self.last_T_WC = sim3.identity()
         self.reloc_attempts = 0
         self.stats = {"tracked": 0, "skipped": 0, "keyframes": 0,
@@ -122,6 +133,34 @@ class SLAMSystem:
                 target=self._backend_loop, daemon=True
             )
             self._backend_thread.start()
+
+    # ------------------------------------------------------------------
+    # Arena access discipline (replaces the reference's SharedKeyframes
+    # RLock-per-access, frame.py:131,222): the backend takes a consistent
+    # snapshot of the arena pytree and works on it lock-free; frontend
+    # writes donate only when no snapshot is live.
+    # ------------------------------------------------------------------
+
+    def _acquire_arena(self) -> KeyframeArena:
+        with self._lock:
+            self._readers += 1
+            return self.arena
+
+    def _release_arena(self):
+        with self._lock:
+            self._readers -= 1
+
+    def _arena_append(self, frame: Frame):
+        with self._lock:
+            fn = self._append if self._readers == 0 else \
+                self._append_nodonate
+            self.arena = fn(self.arena, frame)
+
+    def _arena_set_last(self, kf: Frame):
+        with self._lock:
+            fn = self._set_last if self._readers == 0 else \
+                self._set_last_nodonate
+            self.arena = fn(self.arena, kf)
 
     # ------------------------------------------------------------------
     # Frame ingestion
@@ -172,8 +211,7 @@ class SLAMSystem:
                     frame.feat[None], frame.pos[None]
                 )
             frame = self._mono_update(frame, X, C)
-            with self._lock:
-                self.arena = self._append(self.arena, frame)
+            self._arena_append(frame)
             self.stats["keyframes"] += 1
             self._queue_backend(int(self.arena.n_size) - 1)
             self.mode = Mode.TRACKING
@@ -190,13 +228,11 @@ class SLAMSystem:
                 self.stats["skipped"] += 1
                 info["mode"] = "TRACKING->RELOC"
                 return info
-            with self._lock:
-                self.arena = self._set_last(self.arena, kf)
+            self._arena_set_last(kf)
             self.stats["tracked"] += 1
             self.last_T_WC = frame.T_WC
             if new_kf:
-                with self._lock:
-                    self.arena = self._append(self.arena, frame)
+                self._arena_append(frame)
                 self.stats["keyframes"] += 1
                 info["new_kf"] = True
                 self._queue_backend(int(self.arena.n_size) - 1)
@@ -238,6 +274,8 @@ class SLAMSystem:
                 self._backend_once(timeout=0.01)
             except queue.Empty:
                 continue
+            except Exception as e:  # surface on drain/terminate, keep going
+                self._backend_error = e
 
     def _backend_once(self, timeout=None):
         try:
@@ -247,6 +285,12 @@ class SLAMSystem:
             if timeout is None:
                 return
             raise
+        try:
+            self._process_task(idx)
+        finally:
+            self.tasks.task_done()
+
+    def _process_task(self, idx: int):
         if idx == -1:  # reloc request (threaded mode)
             with self._lock:
                 frame = self._reloc_frame
@@ -254,65 +298,81 @@ class SLAMSystem:
                 self.mode = Mode.TRACKING
             return
 
-        # graph construction: previous consecutive + retrieval
+        # graph construction: previous consecutive + retrieval.  All device
+        # reads go through a snapshot so concurrent frontend appends can
+        # neither delete buffers under us nor change what we read mid-step.
         kf_idx = []
         n_consec = 1
         for j in range(min(n_consec, idx)):
             kf_idx.append(idx - 1 - j)
-        with self._lock:
-            frame = arena_get(self.arena, idx)
-        retrieval_inds = self.retrieval.update(
-            frame, self.arena, add_after_query=True,
-            k=self.cfg["retrieval"]["k"],
-            min_thresh=self.cfg["retrieval"]["min_thresh"],
-        )
-        kf_idx += retrieval_inds
-        kf_idx = list(set(kf_idx) - {idx})
-        if kf_idx:
-            frame_idx = [idx] * len(kf_idx)
-            with profiler.timer("add_factors"):
-                self.graph.add_factors(
-                    self.arena, kf_idx, frame_idx,
-                    float(self.cfg["local_opt"]["min_match_frac"]),
-                )
-        self._solve_graph()
+        snap = self._acquire_arena()
+        try:
+            frame = arena_get(snap, idx)
+            retrieval_inds = self.retrieval.update(
+                frame, snap, add_after_query=True,
+                k=self.cfg["retrieval"]["k"],
+                min_thresh=self.cfg["retrieval"]["min_thresh"],
+            )
+            kf_idx += retrieval_inds
+            kf_idx = list(set(kf_idx) - {idx})
+            if kf_idx:
+                frame_idx = [idx] * len(kf_idx)
+                with profiler.timer("add_factors"):
+                    self.graph.add_factors(
+                        snap, kf_idx, frame_idx,
+                        float(self.cfg["local_opt"]["min_match_frac"]),
+                    )
+            self._solve_graph(snap)
+        finally:
+            self._release_arena()
 
-    def _solve_graph(self):
+    def _solve_graph(self, snap: KeyframeArena):
+        """Solve on the snapshot, then scatter ONLY the optimized keyframe
+        rows into the live arena (reference write-back of the touched
+        subset, global_opt.py:160-161) — a whole-T_WC overwrite would
+        clobber the pose of any keyframe the frontend appended mid-solve."""
         timer = "ba_calib" if self.use_calib else "ba_rays"
         with profiler.timer(timer):
+            res = self.graph.solve_poses(
+                snap, "calib" if self.use_calib else "ray"
+            )
+            if res is None:
+                return
+            upd, Twc_new, stats = res
             with self._lock:
-                arena = self.arena
-            if self.use_calib:
-                arena, stats = self.graph.solve_GN_calib(arena)
-            else:
-                arena, stats = self.graph.solve_GN_rays(arena)
-            with self._lock:
-                # poses were updated; merge into current arena (only poses
-                # changed in the solve)
-                self.arena = self.arena.replace(T_WC=arena.T_WC)
+                self.arena = self.arena.replace(
+                    T_WC=self._merge_poses(self.arena.T_WC, Twc_new, upd)
+                )
         if stats is not None:
             self.stats["ba_rounds"] += 1
 
     def _relocalization(self, frame: Frame) -> bool:
         """main.py:41-84."""
-        kf_idx = list(
-            self.retrieval.update(
-                frame, self.arena, add_after_query=False,
-                k=self.cfg["retrieval"]["k"],
-                min_thresh=self.cfg["retrieval"]["min_thresh"],
+        snap = self._acquire_arena()
+        try:
+            kf_idx = list(
+                self.retrieval.update(
+                    frame, snap, add_after_query=False,
+                    k=self.cfg["retrieval"]["k"],
+                    min_thresh=self.cfg["retrieval"]["min_thresh"],
+                )
             )
-        )
+        finally:
+            self._release_arena()
         if not kf_idx:
             return False
-        with self._lock:
-            self.arena = self._append(self.arena, frame)
-        n_kf = int(self.arena.n_size)
-        frame_idx = [n_kf - 1] * len(kf_idx)
-        success = self.graph.add_factors(
-            self.arena, frame_idx, kf_idx,
-            float(self.cfg["reloc"]["min_match_frac"]),
-            is_reloc=bool(self.cfg["reloc"]["strict"]),
-        )
+        self._arena_append(frame)
+        snap = self._acquire_arena()
+        try:
+            n_kf = int(snap.n_size)
+            frame_idx = [n_kf - 1] * len(kf_idx)
+            success = self.graph.add_factors(
+                snap, frame_idx, kf_idx,
+                float(self.cfg["reloc"]["min_match_frac"]),
+                is_reloc=bool(self.cfg["reloc"]["strict"]),
+            )
+        finally:
+            self._release_arena()
         if success:
             self.retrieval.update(
                 frame, self.arena, add_after_query=True,
@@ -328,7 +388,11 @@ class SLAMSystem:
                 self.last_T_WC = self.arena.T_WC[n_kf - 1]
             self.stats["keyframes"] += 1
             self.tracker.reset_idx_f2k()
-            self._solve_graph()
+            snap = self._acquire_arena()
+            try:
+                self._solve_graph(snap)
+            finally:
+                self._release_arena()
             return True
         with self._lock:
             self.arena = arena_pop_last(self.arena)
@@ -391,6 +455,7 @@ class SLAMSystem:
         g.ii = d["graph_ii"].copy()
         g.jj = d["graph_jj"].copy()
         g.n_edges = int(d["graph_n_edges"])
+        g.max_edges = int(g.ii.shape[0])  # edge store may have grown
         g.idx_ii2jj = jnp.asarray(d["graph_idx_ii2jj"])
         g.idx_jj2ii = jnp.asarray(d["graph_idx_jj2ii"])
         g.valid_match_j = jnp.asarray(d["graph_vmj"])
@@ -402,14 +467,19 @@ class SLAMSystem:
         self.tracker.reset_idx_f2k()
 
     def drain(self):
-        """Block until all backend tasks are done (single-thread barrier
-        semantics of main.py:344-361 are implicit; this is for threaded
-        mode and shutdown)."""
-        while not self.tasks.empty():
-            if self.single_thread:
+        """Block until all backend tasks are done — including the one the
+        backend thread may already have popped (single-thread barrier
+        semantics of main.py:344-361; ``Queue.join`` counts in-flight
+        tasks, unlike ``empty()``)."""
+        if self.single_thread:
+            while not self.tasks.empty():
                 self._backend_once()
-            else:
-                time.sleep(0.005)
+        else:
+            self.tasks.join()
+        err = getattr(self, "_backend_error", None)
+        if err is not None:
+            self._backend_error = None
+            raise err
 
     def terminate(self):
         self.drain()

