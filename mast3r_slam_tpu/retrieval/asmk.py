@@ -116,25 +116,64 @@ class Codebook:
 
     @classmethod
     def load(cls, path: str) -> "Codebook":
-        """Load a codebook pickle (the published `*_codebook.pkl` format or
-        a plain dict/array)."""
+        """Load a codebook pickle without the asmk package installed.
+
+        The published ``*_codebook.pkl`` is written by
+        ``ASMKMethod.train_codebook(cache_path=...)`` as
+        ``io_helpers.save_pickle(path, codebook.state_dict())``
+        (asmk/asmk_method.py:57-68) — a plain dict
+        ``{"type": "Codebook", "params": {"size": ...},
+        "state": {"centroids": ndarray}}`` (asmk/codebook.py:64-76).
+        Older caches pickled the Codebook *instance* itself, whose
+        unpickling imports ``asmk.codebook``; a stubbing Unpickler
+        reconstructs those without the package.  Plain arrays/dicts are
+        accepted too."""
+        import io
         import pickle
 
+        class _Stub:
+            """Shape-agnostic stand-in for any asmk class: captures the
+            pickled attribute state without running asmk __init__."""
+
+            def __setstate__(self, state):
+                if isinstance(state, dict):
+                    self.__dict__.update(state)
+                else:  # pragma: no cover - exotic __reduce__ protocols
+                    self.__dict__["_state"] = state
+
+        class _Unpickler(pickle.Unpickler):
+            def find_class(self, module, name):
+                if module == "asmk" or module.startswith("asmk."):
+                    return type(name, (_Stub,), {"__module__": module})
+                return super().find_class(module, name)
+
         with open(path, "rb") as f:
-            obj = pickle.load(f)
-        if isinstance(obj, np.ndarray):
-            return cls(obj)
-        if isinstance(obj, dict):
-            for key in ("centroids", "codebook", "C"):
-                if key in obj:
-                    inner = obj[key]
-                    if isinstance(inner, dict) and "centroids" in inner:
-                        inner = inner["centroids"]
-                    return cls(np.asarray(inner))
-        cent = getattr(obj, "centroids", None)
-        if cent is not None:
-            return cls(np.asarray(cent))
-        raise ValueError(f"unrecognized codebook format in {path}")
+            obj = _Unpickler(io.BufferedReader(f)).load()
+
+        def extract(o):
+            if isinstance(o, np.ndarray):
+                return o
+            if isinstance(o, dict):
+                # state_dict layout: {"type", "params", "state"}
+                if "state" in o and isinstance(o["state"], dict):
+                    got = extract(o["state"])
+                    if got is not None:
+                        return got
+                for key in ("centroids", "codebook", "C"):
+                    if key in o:
+                        got = extract(o[key])
+                        if got is not None:
+                            return got
+                return None
+            cent = getattr(o, "centroids", None)
+            if cent is not None:
+                return np.asarray(cent)
+            return None
+
+        cent = extract(obj)
+        if cent is None:
+            raise ValueError(f"unrecognized codebook format in {path}")
+        return cls(np.asarray(cent, np.float32))
 
 
 # ---------------------------------------------------------------------------
