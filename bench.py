@@ -39,6 +39,11 @@ def log(*a):
 def main():
     import jax
 
+    if os.environ.get("BENCH_CPU") == "1":
+        # env JAX_PLATFORMS is baked in at interpreter start (axon relay);
+        # only this config update actually forces CPU
+        jax.config.update("jax_platforms", "cpu")
+
     cache_dir = pathlib.Path(".jax_cache")
     cache_dir.mkdir(exist_ok=True)
     try:
@@ -170,13 +175,98 @@ def main():
     frame_ms = enc_ms + track_ms
     fps = 1e3 / frame_ms
     log(f"frame: {enc_ms:.1f} (encode) + {track_ms:.1f} (track) = "
-        f"{frame_ms:.1f} ms -> {fps:.2f} FPS")
+        f"{frame_ms:.1f} ms -> {fps:.2f} FPS (tracked)")
+
+    # --- whole-protocol composition (VERDICT r1 weak #3) -----------------
+    # The eval protocol runs single_thread: every new keyframe triggers
+    # add_factors (symmetric 2E-batch decode+match, global_opt.py:32-101)
+    # plus an inline BA solve, and every frame pays host-side create_frame
+    # (resize+normalize).  Amortize those into an honest protocol FPS.
+
+    # keyframe add_factors: one consecutive edge (B=1 symmetric batch)
+    def sym_step(params, carry):
+        fi, fj = carry
+        outs = engine._match_symmetric_impl(params, fi, pos_k, fj, pos_k)
+        fi = fi + 1e-12 * outs[4][0, 0, 0]  # Qii readback dependency
+        return (fi, fj)
+
+    sym_ms = timed_chain(sym_step, (feat_k, feat_k + 0.01),
+                         "kf_add_factors(sym decode+match, 1 edge)",
+                         lambda c: c[0][0, 0, 0])
+
+    # backend BA: 16 keyframes, 32 edges two-way (64 rows), full 10 GN
+    # iterations at production resolution (the STATUS operating point)
+    from mast3r_slam_tpu.ops import ba as ba_ops
+    from mast3r_slam_tpu.ops import lie_sim3 as sim3
+
+    P_, E_ = 16, 32
+    hw = h * w
+    kb = jax.random.split(key, 6)
+    Xs = jax.random.normal(kb[0], (P_, hw, 3), jnp.float32)
+    Xs = Xs.at[..., 2].add(4.0)
+    Cs = jnp.ones((P_, hw), jnp.float32) * 10.0
+    ii2 = jnp.concatenate([jnp.arange(E_) % (P_ - 1),
+                           (jnp.arange(E_) % (P_ - 1)) + 1]).astype(jnp.int32)
+    jj2 = jnp.concatenate([(jnp.arange(E_) % (P_ - 1)) + 1,
+                           jnp.arange(E_) % (P_ - 1)]).astype(jnp.int32)
+    idx2 = jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32)[None],
+                            (2 * E_, hw))
+    vm2 = jnp.ones((2 * E_, hw), bool)
+    Q2 = jnp.full((2 * E_, hw), 4.0, jnp.float32)
+    ev = jnp.ones((2 * E_,), bool)
+    Twc0 = jnp.broadcast_to(sim3.identity(), (P_, 8))
+    bacfg = ba_ops.BAConfig(delta_norm=0.0)  # no early exit
+
+    def ba_step(params, carry):
+        Twc, Xs, Cs, idx2, vm2, Q2 = carry
+        Twc2, iters, delta, ok = ba_ops.gauss_newton(
+            Twc, Xs, Cs, ii2, jj2, idx2, vm2, Q2, ev, K, "ray", (w, h),
+            bacfg,
+        )
+        return (Twc2, Xs, Cs, idx2, vm2, Q2)
+
+    ba_ms = timed_chain(ba_step, (Twc0, Xs, Cs, idx2, vm2, Q2),
+                        "ba(16kf, 64 two-way edges, 10 iters)",
+                        lambda c: c[0][1, 0])
+
+    # host-side create_frame: PIL resize/crop + ImgNorm (frame.py:111-122
+    # equivalent; device upload excluded — relay-tunnel latency is not an
+    # intrinsic cost of the design)
+    import numpy as np
+
+    from mast3r_slam_tpu.inference import resize_img
+
+    rgb = np.random.default_rng(0).random((480, 640, 3)).astype(np.float32)
+    resize_img(rgb, 512)  # warm
+    reps = 20
+    t0 = time.time()
+    for _ in range(reps):
+        resize_img(rgb, 512)
+    host_ms = (time.time() - t0) / reps * 1e3
+    log(f"  create_frame host resize+norm: {host_ms:.1f} ms")
+
+    kf_rate = float(os.environ.get("BENCH_KF_RATE", "0.2"))
+    protocol_ms = frame_ms + host_ms + kf_rate * (sym_ms + ba_ms)
+    protocol_fps = 1e3 / protocol_ms
+    log(f"protocol: {frame_ms:.1f} (enc+track) + {host_ms:.1f} (host) + "
+        f"{kf_rate:.2f}*({sym_ms:.1f} sym + {ba_ms:.1f} ba) = "
+        f"{protocol_ms:.1f} ms -> {protocol_fps:.2f} FPS "
+        f"(single-thread eval-protocol semantics, kf every "
+        f"{1 / kf_rate:.0f} frames)")
 
     print(json.dumps({
-        "metric": "tracked_fps_per_chip",
-        "value": round(fps, 3),
+        "metric": "protocol_fps_per_chip",
+        "value": round(protocol_fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 15.0, 3),
+        "vs_baseline": round(protocol_fps / 15.0, 3),
+        "tracked_fps_per_chip": round(fps, 3),
+        "breakdown_ms": {
+            "encode": round(enc_ms, 2), "track": round(track_ms, 2),
+            "create_frame_host": round(host_ms, 2),
+            "kf_add_factors": round(sym_ms, 2),
+            "kf_ba_solve": round(ba_ms, 2),
+            "kf_rate": kf_rate,
+        },
     }))
 
 

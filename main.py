@@ -58,6 +58,10 @@ def parse_args():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--gt", default="", help="TUM-format GT for ATE scoring")
     p.add_argument("--profile", action="store_true")
+    p.add_argument("--profile-blocks", action="store_true",
+                   help="measure the per-block network breakdown "
+                        "(PatchEmbed / enc attn / enc mlp / dec self+cross"
+                        "+mlp) and print the reference-style summary")
     p.add_argument("--max-frames", type=int, default=0)
     return p.parse_args()
 
@@ -247,6 +251,16 @@ def main():
 
     if args.profile:
         profiler.print_summary()
+
+    if args.profile_blocks and not (args.oracle or args.tiny_model):
+        from mast3r_slam_tpu.utils.breakdown import (
+            network_breakdown, print_network_summary,
+        )
+
+        res = network_breakdown(model.cfg, engine.params, (h, w))
+        print_network_summary(res)
+    elif args.profile_blocks:
+        print("[profile-blocks] skipped (oracle/tiny run has no full net)")
 
 
 if __name__ == "__main__":

@@ -59,6 +59,17 @@ class InferenceEngine:
         self.n_patches = (img_hw[0] // p) * (img_hw[1] // p)
         self.feat_dim = model.cfg.enc_embed_dim
         self.out_hw = (img_hw[0] // ds, img_hw[1] // ds)
+        # Portrait inputs (h > w) run through the net at their TRUE
+        # orientation — this IS the reference behavior: ManyAR_PatchEmbed
+        # un-transposes portrait rows before the conv and emits a portrait
+        # pos grid (dust3r/patch_embed.py:64-70), and the SLAM loader's
+        # PatchEmbedDust3R + landscape_only=False rewrite
+        # (dust3r/model.py:31-36) runs portrait frames natively with the
+        # head at (H, W) (utils/misc.py:56-61).  The landscape-transpose
+        # in upstream dust3r is purely a mixed-AR batch STORAGE convention
+        # (undone inside the patch embed), which a fixed-shape single-AR
+        # run never needs.  Parity checked by the H>W case of
+        # tests/test_convert_parity.py.
 
         if int8_encoder:
             from .models.quant import encode_int8, quantize_encoder_params

@@ -311,7 +311,14 @@ def t_head(sd, hn, tokens, img_hw):
 # ---------------------------------------------------------------------------
 
 
-def test_full_parity():
+@pytest.mark.parametrize("img_hw", [(H, W), (W, H)],
+                         ids=["landscape", "portrait"])
+def test_full_parity(img_hw):
+    """Numeric parity incl. the portrait (H>W) case: the net runs portrait
+    frames at their true orientation exactly like the reference
+    (ManyAR_PatchEmbed portrait branch, dust3r/patch_embed.py:64-70, and
+    the SLAM loader's landscape_only=False head, utils/misc.py:56-61)."""
+    H, W = img_hw
     sd = make_state_dict()
     rng = np.random.default_rng(3)
     img1 = rng.standard_normal((1, H, W, 3)).astype(np.float32)

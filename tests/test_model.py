@@ -214,3 +214,35 @@ def test_cast_head_params_bf16_identical():
         np.testing.assert_array_equal(
             np.asarray(r1[k], np.float32), np.asarray(r2[k], np.float32),
             err_msg=k)
+
+
+def test_network_breakdown_taxonomy():
+    """Per-block profiler parity (reference blocks.py:130-134,191-197 +
+    profiler.py:37-110): the breakdown measures every taxonomy section and
+    the summary prints the encoder/decoder + attn/MLP split."""
+    import io
+    from contextlib import redirect_stdout
+
+    import jax
+
+    from mast3r_slam_tpu.models.mast3r import MASt3R, MASt3RConfig
+    from mast3r_slam_tpu.utils.breakdown import (
+        network_breakdown, print_network_summary,
+    )
+
+    cfg = MASt3RConfig.tiny()
+    model = MASt3R(cfg)
+    img = jnp.zeros((1, 32, 48, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), img, img)
+    res = network_breakdown(cfg, params, (32, 48), n_chain=4)
+    assert set(res) == {
+        "PatchEmbed", "Encoder_attn", "Encoder_mlp",
+        "Decoder_attn", "Decoder_cross_attn", "Decoder_mlp",
+    }
+    assert all(v >= 0 for v in res.values())
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        print_network_summary(res)
+    out = buf.getvalue()
+    for needle in ("Encoder vs Decoder", "Cross-Attn", "MLP"):
+        assert needle in out

@@ -211,3 +211,55 @@ def test_codebook_load_pickled_asmk_instance(tmp_path):
 
     cb = Codebook.load(str(p))
     np.testing.assert_allclose(cb.centroids, cent)
+
+
+def test_pipeline_loop_closure_end_to_end(tmp_path):
+    """Full-SLAMSystem loop closure (VERDICT r1 next #8): on a closed-loop
+    noisy trajectory, retrieval must get a non-consecutive edge into the
+    factor graph and BA over it must not degrade (and typically improves)
+    ATE vs the retrieval-off run."""
+    from mast3r_slam_tpu import evaluate
+    from mast3r_slam_tpu.pipeline import SLAMSystem
+    from mast3r_slam_tpu.testing import (
+        OracleEngine, SyntheticSequence, make_oracle_retrieval,
+    )
+    from mast3r_slam_tpu.utils.config import load_config
+
+    seq = SyntheticSequence(n_frames=24, h=32, w=48, seed=3,
+                            traj_scale=0.35, loop=True)
+    cfg = load_config("config/eval_no_calib.yaml")
+    cfg["dataset"]["img_size"] = 48
+
+    def run(with_retrieval):
+        engine = OracleEngine(seq, noise_std=0.01, seed=7)
+        retrieval = make_oracle_retrieval(seq, engine) if with_retrieval \
+            else None
+        system = SLAMSystem(cfg, engine, (seq.h, seq.w), buffer=32,
+                            retrieval=retrieval)
+        for i in range(len(seq)):
+            system.process_frame(i, seq.images[i])
+        system.terminate()
+        est = tmp_path / f"est_{with_retrieval}.txt"
+        gt = tmp_path / "gt.txt"
+        evaluate.save_traj(tmp_path, est.name, seq.timestamps, system.arena)
+        seq.write_gt(gt)
+        ate = evaluate.ate_rmse(gt, est, max_diff=0.05)
+        return system, ate
+
+    sys_off, ate_off = run(False)
+    sys_on, ate_on = run(True)
+
+    # a retrieval-proposed NON-consecutive edge made it into the graph
+    g = sys_on.graph
+    span = np.abs(g.ii[:g.n_edges].astype(int) - g.jj[:g.n_edges].astype(int))
+    assert (span > 1).any(), (g.ii[:g.n_edges], g.jj[:g.n_edges])
+    # retrieval-off graph is consecutive-only
+    g0 = sys_off.graph
+    span0 = np.abs(g0.ii[:g0.n_edges].astype(int)
+                   - g0.jj[:g0.n_edges].astype(int))
+    assert (span0 <= 1).all()
+
+    # loop closure must not hurt, and both runs track the loop
+    assert ate_on <= ate_off * 1.1, (ate_on, ate_off)
+    # absolute sanity at 1 cm pointmap noise on a ~4 m scene
+    assert ate_on < 0.15, ate_on
