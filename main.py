@@ -219,6 +219,10 @@ def main():
                 viewer.consume_step()
         timestamp, img = dataset[i]
         info = system.process_frame(i, img)
+        if viewer is not None and i % 3 == 0:
+            # current-frame preview mailbox (reference states.set_frame,
+            # visualization.py:109-129)
+            viewer.publish_frame(img)
         if viewer is not None and (info["new_kf"] or i % 15 == 0):
             g = system.graph
             ne = int(g.n_edges)

@@ -50,6 +50,8 @@ class LiveViewer:
                       "nedge": 0, "stats": {}}
         self._msg = WindowMsg()
         self._msg_dirty = False
+        self._frame_png = b""
+        self._frame_version = 0
 
         viewer = self
 
@@ -77,6 +79,13 @@ class LiveViewer:
                     with viewer._lock:
                         body = viewer._blob
                     self._send(200, body, "application/octet-stream")
+                elif u.path == "/frame":
+                    with viewer._lock:
+                        body = viewer._frame_png
+                    if body:
+                        self._send(200, body, "image/png")
+                    else:
+                        self._send(404, b"no frame", "text/plain")
                 elif u.path == "/ctrl":
                     q = parse_qs(u.query)
                     with viewer._lock:
@@ -113,6 +122,25 @@ class LiveViewer:
         with self._lock:
             if self._msg.next > 0:
                 self._msg.next -= 1
+
+    def publish_frame(self, uimg):
+        """Current-frame preview mailbox (reference ``states.set_frame`` →
+        rendered every GUI frame, visualization.py:109-129): encode the
+        tracked frame's RGB to PNG for the corner preview.  Host numpy
+        only; call at whatever rate the frontend can spare."""
+        import cv2
+
+        img = np.asarray(uimg)
+        bgr = cv2.cvtColor(
+            (np.clip(img, 0, 1) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR
+        )
+        ok, enc = cv2.imencode(".png", bgr)
+        if not ok:  # pragma: no cover
+            return
+        with self._lock:
+            self._frame_png = enc.tobytes()
+            self._frame_version += 1
+            self._meta["frame_version"] = self._frame_version
 
     def publish(self, arena, edges_ii=None, edges_jj=None, stats=None):
         """Snapshot the map into the serving buffer.  Host-side numpy only;
@@ -151,6 +179,7 @@ class LiveViewer:
                 "nedge": len(es32),
                 "stats": dict(stats or {}),
                 "conf": msg.C_conf_threshold,
+                "frame_version": self._frame_version,
             }
 
     def close(self):
@@ -169,6 +198,8 @@ padding:8px;border-radius:6px}button{margin-right:6px}
  conf <input id="conf" type="range" min="0" max="10" step="0.1" value="1.5">
  <span id="confv">1.5</span><div id="stats">connecting...</div>
 </div>
+<img id="preview" style="position:fixed;bottom:8px;right:8px;max-width:24%;
+border:1px solid #555;border-radius:4px;display:none">
 <canvas id="c"></canvas>
 <script>
 const canvas=document.getElementById('c');
@@ -190,7 +221,7 @@ const mvpLoc=gl.getUniformLocation(prog,'mvp');
 const psLoc=gl.getUniformLocation(prog,'ps');
 const pbuf=gl.createBuffer(),cbuf=gl.createBuffer();
 const lbuf=gl.createBuffer(),lcbuf=gl.createBuffer();
-let npts=0,nlines=0,version=-1,ctr=[0,0,0],dist=5;
+let npts=0,nlines=0,version=-1,frameVersion=0,ctr=[0,0,0],dist=5;
 let rx=0.5,ry=-0.8;
 async function refresh(){
  try{
@@ -198,6 +229,11 @@ async function refresh(){
   document.getElementById('stats').textContent=
    `kf ${meta.nkf} | pts ${meta.npts} | `+
    Object.entries(meta.stats).map(([k,v])=>k+':'+v).join(' ');
+  if(meta.frame_version&&meta.frame_version!==frameVersion){
+   frameVersion=meta.frame_version;
+   const im=document.getElementById('preview');
+   im.src='/frame?v='+frameVersion;im.style.display='block';
+  }
   if(meta.version===version)return;
   version=meta.version;
   const buf=await (await fetch('/cloud')).arrayBuffer();

@@ -1,6 +1,7 @@
 """Viz exports: snapshot PNG + offline HTML viewer from a populated arena."""
 
 import numpy as np
+import pytest
 
 from mast3r_slam_tpu import viz
 from mast3r_slam_tpu.pipeline import SLAMSystem
@@ -83,5 +84,20 @@ def test_live_viewer_serves_and_controls():
         viewer.publish(system.arena, stats=system.stats)
         meta2 = json.loads(urllib.request.urlopen(f"{base}/meta").read())
         assert meta2["version"] == 2 and meta2["conf"] == 2.5
+
+        # current-frame preview mailbox (reference states.set_frame,
+        # visualization.py:109-129): /frame serves a PNG, meta bumps
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(f"{base}/frame")  # nothing published yet
+        viewer.publish_frame(seq.images[-1])
+        png = urllib.request.urlopen(f"{base}/frame").read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        meta3 = json.loads(urllib.request.urlopen(f"{base}/meta").read())
+        assert meta3["frame_version"] == 1
+        viewer.publish(system.arena, stats=system.stats)
+        meta4 = json.loads(urllib.request.urlopen(f"{base}/meta").read())
+        assert meta4["frame_version"] == 1  # survives a map publish
     finally:
         viewer.close()
