@@ -55,6 +55,10 @@ def parse_args():
     p.add_argument("--int8-encoder", action="store_true",
                    help="INT8-quantized encoder (fork TensorRT-INT8 parity; "
                         "2x MXU peak on v5e)")
+    p.add_argument("--int8-local-head", action="store_true",
+                   help="INT8-quantized catMLP local-feature MLPs (the "
+                        "dominant head weight-read block); cosine-accepted "
+                        "vs fp in tests/test_quant.py")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--gt", default="", help="TUM-format GT for ATE scoring")
     p.add_argument("--profile", action="store_true")
@@ -181,6 +185,7 @@ def main():
             downsample=int(config["dataset"].get("img_downsample", 1)),
             match_cfg=MatchingConfig.from_dict(config["matching"]),
             int8_encoder=args.int8_encoder,
+            int8_local_head=args.int8_local_head,
         )
     retrieval = None
     if not args.oracle:

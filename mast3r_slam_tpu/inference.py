@@ -37,9 +37,12 @@ class InferenceEngine:
     def __init__(self, model: MASt3R, params, img_hw: Tuple[int, int],
                  downsample: int = 1,
                  match_cfg: matching.MatchingConfig | None = None,
-                 int8_encoder: bool = False):
+                 int8_encoder: bool = False,
+                 int8_local_head: bool = False):
         """int8_encoder enables the quantized encoder path (capability
-        parity with the fork's TensorRT INT8 feature; models/quant.py)."""
+        parity with the fork's TensorRT INT8 feature; models/quant.py);
+        int8_local_head quantizes the catMLP local-feature MLPs (the
+        dominant head weight-read block) the same way."""
         self.model = model
         if model.cfg.dtype == jnp.bfloat16 and \
                 os.environ.get("MAST3R_BF16_PARAMS", "1") != "0":
@@ -83,6 +86,12 @@ class InferenceEngine:
             self._encode = jax.jit(
                 lambda p, img: model.apply(p, img, method=MASt3R.encode)
             )
+        if int8_local_head:
+            from .models.quant import quantize_local_heads
+
+            self.qlocal = quantize_local_heads(params)
+        else:
+            self.qlocal = None
         self._decode_head = jax.jit(
             functools.partial(self._decode_head_impl, img_hw)
         )
@@ -92,11 +101,31 @@ class InferenceEngine:
     # -- internals ---------------------------------------------------------
 
     def _decode_head_impl(self, img_hw, params, f1, pos1, f2, pos2):
-        res1, res2 = self.model.apply(
-            params, f1, pos1, f2, pos2, img_hw,
-            method=MASt3R.decode_and_head,
+        if self.qlocal is None:
+            res1, res2 = self.model.apply(
+                params, f1, pos1, f2, pos2, img_hw,
+                method=MASt3R.decode_and_head,
+            )
+            return self._pack(res1), self._pack(res2)
+        # INT8 local-feature head: decode + DPT through the module, the
+        # catMLP MLP through the quantized pure function (models/quant.py)
+        from .models.mast3r import postprocess
+        from .models.quant import local_features_int8
+
+        d1, d2 = self.model.apply(
+            params, f1, pos1, f2, pos2, method=MASt3R.decode
         )
-        return self._pack(res1), self._pack(res2)
+        out = []
+        for n, toks in ((1, d1), (2, d2)):
+            dpt_out = self.model.apply(
+                params, n, toks, img_hw, method=MASt3R.head_dpt
+            )
+            local_out = local_features_int8(
+                self.qlocal[f"local{n}"], toks[0], toks[-1], img_hw,
+                self.model.cfg,
+            )
+            out.append(postprocess(dpt_out, local_out, self.model.cfg))
+        return self._pack(out[0]), self._pack(out[1])
 
     def _pack(self, res):
         """Stack head outputs to (B, h, w, ...) with optional downsample

@@ -506,14 +506,20 @@ class MASt3R(nn.Module):
         out2[-1] = self.dec_norm(out2[-1]).astype(jnp.float32)
         return out1, out2
 
-    def head(self, head_num, tokens, img_hw):
-        """fp32 downstream head on hooked token layers."""
+    def head_dpt(self, head_num, tokens, img_hw):
+        """DPT half of the downstream head: raw (B, H, W, 4) xyz+conf map
+        (split out so the quantized local-feature path, quant.py, can pair
+        with it outside the module)."""
         hooked = [
             tokens[h].astype(jnp.float32) for h in self.cfg.hooks
         ]
         dpt = self.dpt1 if head_num == 1 else self.dpt2
+        return dpt(hooked, img_hw)
+
+    def head(self, head_num, tokens, img_hw):
+        """fp32 downstream head on hooked token layers."""
+        dpt_out = self.head_dpt(head_num, tokens, img_hw)
         loc = self.local1 if head_num == 1 else self.local2
-        dpt_out = dpt(hooked, img_hw)
         local_out = loc(
             tokens[0].astype(jnp.float32),
             tokens[-1].astype(jnp.float32),

@@ -138,3 +138,46 @@ def encode_int8(params, qparams, img, cfg: MASt3RConfig):
         x, p["enc_norm"]["scale"], p["enc_norm"]["bias"]
     ).astype(jnp.float32)
     return feat, pos
+
+
+# ---------------------------------------------------------------------------
+# INT8 catMLP local-feature head (the single largest head weight-read
+# block: fc1 (E+D)x4(E+D) + fc2 4(E+D)x(25*p^2) ~ 59 M params per view —
+# see mast3r.py cast_trunk_params_bf16 note).  Same per-channel weight +
+# dynamic per-token activation scheme as the encoder path; the pixel
+# shuffle and postprocess stay fp32.
+# ---------------------------------------------------------------------------
+
+
+def quantize_local_heads(params) -> dict:
+    """Quantize the two catMLP local-feature MLPs (local1/local2)."""
+    p = params["params"]
+    out = {}
+    for name in ("local1", "local2"):
+        mlp = p[name]["head_local_features"]
+        out[name] = {
+            "fc1": _quantize_dense(mlp["fc1"]["kernel"],
+                                   mlp["fc1"]["bias"]),
+            "fc2": _quantize_dense(mlp["fc2"]["kernel"],
+                                   mlp["fc2"]["bias"]),
+        }
+    return out
+
+
+def local_features_int8(qlocal_head, enc_tok, dec_tok, img_hw,
+                        cfg: MASt3RConfig):
+    """INT8 counterpart of mast3r.LocalFeaturesHead.__call__: MLP on
+    cat(enc, dec) tokens in INT8, pixel-shuffle to (B, H, W, nch) fp32."""
+    H, W = img_hw
+    p_sz = cfg.patch_size
+    nh, nw = H // p_sz, W // p_sz
+    nch = cfg.local_feat_dim + int(cfg.two_confs)
+    x = jnp.concatenate(
+        [enc_tok.astype(jnp.float32), dec_tok.astype(jnp.float32)], axis=-1
+    )
+    h = _int8_matmul(x, qlocal_head["fc1"])
+    h = jax.nn.gelu(h, approximate=False)
+    x = _int8_matmul(h, qlocal_head["fc2"]).astype(jnp.float32)
+    B = x.shape[0]
+    x = x.reshape(B, nh, nw, nch, p_sz, p_sz)
+    return x.transpose(0, 1, 4, 2, 5, 3).reshape(B, H, W, nch)
