@@ -55,6 +55,85 @@ def _world_cloud(arena: KeyframeArena, conf_threshold: float = 1.5,
     return pts, cols
 
 
+def _world_cloud_grid(arena: KeyframeArena, conf_threshold: float = 1.5,
+                      max_points: int = 400_000):
+    """Grid-aware map extraction for surfel / triangle-mesh rendering
+    (counterpart of the reference's surfelmap.glsl normal-oriented quads
+    and trianglemap.glsl mesh): per-keyframe subsampled pointmap grids
+    with per-point normals (central differences) and triangle indices
+    with depth-discontinuity culling.
+
+    Returns (pts (M,3) f32, cols (M,3) f32 in [0,1], normals (M,3) f32,
+    tris (T,3) u32)."""
+    n = int(arena.n_size)
+    if n == 0:
+        return (np.zeros((0, 3), np.float32),) * 3 + (
+            np.zeros((0, 3), np.uint32),)
+    h, w = arena.img_hw
+    stride = max(1, int(np.ceil(np.sqrt(max(n * h * w / max_points, 1)))))
+    T = np.asarray(arena.T_WC)[:n]
+    X = np.asarray(arena.X)[:n]
+    C = np.asarray(arena.C)[:n, :, 0]
+    Nc = np.maximum(np.asarray(arena.N)[:n], 1)
+    uimg = np.asarray(arena.uimg)[:n]
+    import jax.numpy as jnp
+
+    pts_all, col_all, nrm_all, tri_all = [], [], [], []
+    base = 0
+    for i in range(n):
+        Xw = np.asarray(
+            sim3.act(jnp.asarray(T[i]), jnp.asarray(X[i]))
+        ).reshape(h, w, 3)[::stride, ::stride]
+        conf = (C[i] / Nc[i]).reshape(h, w)[::stride, ::stride]
+        col = uimg[i][::stride, ::stride]
+        valid = conf > conf_threshold
+        gh, gw = Xw.shape[:2]
+
+        # normals from grid central differences (surfelmap.glsl orients
+        # its quads with exactly these cross-product normals)
+        du = np.gradient(Xw, axis=1)
+        dv = np.gradient(Xw, axis=0)
+        nrm = np.cross(du.reshape(-1, 3), dv.reshape(-1, 3))
+        ln = np.linalg.norm(nrm, axis=-1, keepdims=True)
+        nrm = (nrm / np.maximum(ln, 1e-12)).reshape(gh, gw, 3)
+
+        idx_map = np.full((gh, gw), -1, np.int64)
+        nv = int(valid.sum())
+        idx_map[valid] = base + np.arange(nv)
+        pts_all.append(Xw[valid].astype(np.float32))
+        col_all.append(col[valid].astype(np.float32))
+        nrm_all.append(nrm[valid].astype(np.float32))
+
+        # triangles with depth-discontinuity culling (trianglemap.glsl
+        # counterpart): drop quads whose 3D edges exceed ~8x the median
+        # grid spacing of this keyframe
+        a = idx_map[:-1, :-1]
+        b = idx_map[:-1, 1:]
+        c = idx_map[1:, :-1]
+        d = idx_map[1:, 1:]
+        eh = np.linalg.norm(Xw[:, 1:] - Xw[:, :-1], axis=-1)
+        evd = np.linalg.norm(Xw[1:] - Xw[:-1], axis=-1)
+        med = np.median(np.concatenate(
+            [eh.reshape(-1), evd.reshape(-1)])) + 1e-12
+        tau = 8.0 * med
+        ok_e = ((eh[:-1] < tau) & (evd[:, :-1] < tau)
+                & (eh[1:] < tau) & (evd[:, 1:] < tau))
+        quad_ok = (a >= 0) & (b >= 0) & (c >= 0) & (d >= 0) & ok_e
+        if quad_ok.any():
+            aa, bb, cc, dd = (x[quad_ok] for x in (a, b, c, d))
+            tri_all.append(np.stack([aa, bb, cc], -1).astype(np.uint32))
+            tri_all.append(np.stack([bb, dd, cc], -1).astype(np.uint32))
+        base += nv
+
+    pts = np.concatenate(pts_all) if pts_all else np.zeros((0, 3))
+    cols = np.concatenate(col_all) if col_all else np.zeros((0, 3))
+    nrms = np.concatenate(nrm_all) if nrm_all else np.zeros((0, 3))
+    tris = np.concatenate(tri_all) if tri_all else \
+        np.zeros((0, 3), np.uint32)
+    return (pts.astype(np.float32), cols.astype(np.float32),
+            nrms.astype(np.float32), tris)
+
+
 def _frusta(arena: KeyframeArena, scale: float = 0.1):
     """Line segments of keyframe camera frusta in world coords
     (reference visualization_utils.Frustums)."""

@@ -144,12 +144,18 @@ class LiveViewer:
 
     def publish(self, arena, edges_ii=None, edges_jj=None, stats=None):
         """Snapshot the map into the serving buffer.  Host-side numpy only;
-        call it off the frame critical path (e.g. on new keyframes)."""
-        from .viz import _frusta, _world_cloud
+        call it off the frame critical path (e.g. on new keyframes).
+
+        The blob carries grid-derived per-point normals and triangle
+        indices so the client can render point / surfel / mesh modes (the
+        counterparts of the reference's pointmap.glsl / surfelmap.glsl /
+        trianglemap.glsl shader programs)."""
+        from .viz import _frusta, _world_cloud_grid
 
         msg = self.get_msg()
-        pts, cols = _world_cloud(arena, msg.C_conf_threshold,
-                                 self.max_points)
+        pts, cols, nrms, tris = _world_cloud_grid(
+            arena, msg.C_conf_threshold, self.max_points
+        )
         frusta = _frusta(arena)
         n = int(arena.n_size)
 
@@ -165,18 +171,30 @@ class LiveViewer:
 
         pts32 = np.ascontiguousarray(pts, np.float32)
         cols8 = (np.clip(np.asarray(cols), 0, 1) * 255).astype(np.uint8)
-        pad = (-len(pts32) * 3) % 4
+        nrm8 = np.clip(np.asarray(nrms) * 127, -127, 127).astype(np.int8)
+        pad1 = (-len(pts32) * 3) % 4
+        pad2 = (-len(pts32) * 3) % 4
         fr32 = np.ascontiguousarray(frusta, np.float32)
         es32 = np.ascontiguousarray(esegs, np.float32)
-        blob = (pts32.tobytes() + cols8.tobytes() + b"\0" * pad
-                + fr32.tobytes() + es32.tobytes())
-        header = struct.pack("<4I", len(pts32), len(fr32), len(es32), pad)
+        tri32 = np.ascontiguousarray(tris, np.uint32)
+        # surfel world radius ~ the median point spacing of the cloud
+        if len(pts32) > 1:
+            d = np.linalg.norm(pts32[1:51] - pts32[0:50], axis=-1)
+            sradius = float(np.median(d)) if len(d) else 0.01
+        else:
+            sradius = 0.01
+        blob = (pts32.tobytes() + cols8.tobytes() + b"\0" * pad1
+                + nrm8.tobytes() + b"\0" * pad2
+                + fr32.tobytes() + es32.tobytes() + tri32.tobytes())
+        header = struct.pack("<6I", len(pts32), len(fr32), len(es32),
+                             pad1, len(tri32), pad2)
         with self._lock:
             self._blob = header + blob
             self._meta = {
                 "version": self._meta["version"] + 1,
                 "npts": len(pts32), "nkf": n, "nfr": len(fr32),
-                "nedge": len(es32),
+                "nedge": len(es32), "ntri": len(tri32),
+                "sradius": sradius,
                 "stats": dict(stats or {}),
                 "conf": msg.C_conf_threshold,
                 "frame_version": self._frame_version,
@@ -195,6 +213,8 @@ padding:8px;border-radius:6px}button{margin-right:6px}
 </style></head><body>
 <div id="hud">
  <button id="pause">pause</button><button id="step">step</button>
+ <select id="mode"><option value="0">points</option>
+  <option value="1">surfels</option><option value="2">mesh</option></select>
  conf <input id="conf" type="range" min="0" max="10" step="0.1" value="1.5">
  <span id="confv">1.5</span><div id="stats">connecting...</div>
 </div>
@@ -204,30 +224,54 @@ border:1px solid #555;border-radius:4px;display:none">
 <script>
 const canvas=document.getElementById('c');
 const gl=canvas.getContext('webgl');
-const vs=`attribute vec3 p;attribute vec3 c;uniform mat4 mvp;
-uniform float ps;varying vec3 vc;void main(){gl_Position=mvp*vec4(p,1.0);
-gl_PointSize=ps;vc=c;}`;
-const fs=`precision mediump float;varying vec3 vc;
-void main(){gl_FragColor=vec4(vc,1.0);}`;
+gl.getExtension('OES_element_index_uint');
+// one program serves all three modes (pointmap/surfelmap/trianglemap.glsl
+// counterparts): mode 0 plain points, 1 normal-shaded elliptic sprites,
+// 2 normal-shaded triangles
+const vs=`attribute vec3 p;attribute vec3 c;attribute vec3 nrm;
+uniform mat4 mvp;uniform mat3 rot;uniform float ps;uniform int mode;
+varying vec3 vc;varying vec3 vn;
+void main(){gl_Position=mvp*vec4(p,1.0);vc=c;vn=rot*nrm;
+ if(mode==1){gl_PointSize=clamp(ps/gl_Position.w,2.0,48.0);}
+ else{gl_PointSize=1.5;}}`;
+const fs=`precision mediump float;varying vec3 vc;varying vec3 vn;
+uniform int mode;
+void main(){
+ vec3 col=vc;
+ if(mode>0){col=vc*(0.45+0.55*abs(normalize(vn).z));}
+ if(mode==1){
+  vec2 o=gl_PointCoord*2.0-1.0;
+  vec3 n=normalize(vn);
+  float m=max(abs(n.z),0.25);
+  vec2 ax=length(n.xy)>1e-3?normalize(n.xy):vec2(1.0,0.0);
+  float u=dot(o,ax)/m, v=o.x*ax.y-o.y*ax.x;
+  if(u*u+v*v>1.0)discard;}
+ gl_FragColor=vec4(col,1.0);}`;
 function sh(t,s){const o=gl.createShader(t);gl.shaderSource(o,s);
 gl.compileShader(o);return o;}
 const prog=gl.createProgram();
 gl.attachShader(prog,sh(gl.VERTEX_SHADER,vs));
 gl.attachShader(prog,sh(gl.FRAGMENT_SHADER,fs));
 gl.linkProgram(prog);gl.useProgram(prog);
+gl.enable(gl.DEPTH_TEST);
 const pl=gl.getAttribLocation(prog,'p');
 const cl=gl.getAttribLocation(prog,'c');
+const nl=gl.getAttribLocation(prog,'nrm');
 const mvpLoc=gl.getUniformLocation(prog,'mvp');
+const rotLoc=gl.getUniformLocation(prog,'rot');
 const psLoc=gl.getUniformLocation(prog,'ps');
-const pbuf=gl.createBuffer(),cbuf=gl.createBuffer();
+const modeLoc=gl.getUniformLocation(prog,'mode');
+const pbuf=gl.createBuffer(),cbuf=gl.createBuffer(),nbuf=gl.createBuffer();
 const lbuf=gl.createBuffer(),lcbuf=gl.createBuffer();
-let npts=0,nlines=0,version=-1,frameVersion=0,ctr=[0,0,0],dist=5;
+const ibuf=gl.createBuffer();
+let npts=0,nlines=0,ntri=0,version=-1,frameVersion=0,ctr=[0,0,0],dist=5;
+let sradius=0.01,mode=0;
 let rx=0.5,ry=-0.8;
 async function refresh(){
  try{
   const meta=await (await fetch('/meta')).json();
   document.getElementById('stats').textContent=
-   `kf ${meta.nkf} | pts ${meta.npts} | `+
+   `kf ${meta.nkf} | pts ${meta.npts} | tri ${meta.ntri||0} | `+
    Object.entries(meta.stats).map(([k,v])=>k+':'+v).join(' ');
   if(meta.frame_version&&meta.frame_version!==frameVersion){
    frameVersion=meta.frame_version;
@@ -235,20 +279,26 @@ async function refresh(){
    im.src='/frame?v='+frameVersion;im.style.display='block';
   }
   if(meta.version===version)return;
-  version=meta.version;
+  version=meta.version;sradius=meta.sradius||0.01;
   const buf=await (await fetch('/cloud')).arrayBuffer();
-  const hdr=new Uint32Array(buf,0,4);
-  const np_=hdr[0],nfr=hdr[1],ned=hdr[2],pad=hdr[3];
-  let off=16;
+  const hdr=new Uint32Array(buf,0,6);
+  const np_=hdr[0],nfr=hdr[1],ned=hdr[2],pad1=hdr[3],nt=hdr[4],pad2=hdr[5];
+  let off=24;
   const pts=new Float32Array(buf,off,np_*3);off+=np_*12;
-  const cols=new Uint8Array(buf,off,np_*3);off+=np_*3+pad;
+  const cols=new Uint8Array(buf,off,np_*3);off+=np_*3+pad1;
+  const nrms=new Int8Array(buf,off,np_*3);off+=np_*3+pad2;
   const fr=new Float32Array(buf,off,nfr*6);off+=nfr*24;
-  const ed=new Float32Array(buf,off,ned*6);
-  npts=np_;
+  const ed=new Float32Array(buf,off,ned*6);off+=ned*24;
+  const tri=new Uint32Array(buf,off,nt*3);
+  npts=np_;ntri=nt;
   gl.bindBuffer(gl.ARRAY_BUFFER,pbuf);
   gl.bufferData(gl.ARRAY_BUFFER,pts,gl.DYNAMIC_DRAW);
   gl.bindBuffer(gl.ARRAY_BUFFER,cbuf);
   gl.bufferData(gl.ARRAY_BUFFER,cols,gl.DYNAMIC_DRAW);
+  gl.bindBuffer(gl.ARRAY_BUFFER,nbuf);
+  gl.bufferData(gl.ARRAY_BUFFER,nrms,gl.DYNAMIC_DRAW);
+  gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER,ibuf);
+  gl.bufferData(gl.ELEMENT_ARRAY_BUFFER,tri,gl.DYNAMIC_DRAW);
   // lines: frusta (yellow) then graph edges (cyan)
   nlines=(nfr+ned)*2;
   const lp=new Float32Array(nlines*3),lc=new Uint8Array(nlines*3);
@@ -271,10 +321,12 @@ async function refresh(){
  }catch(e){}
 }
 setInterval(refresh,500);refresh();
+let R3=[[1,0,0],[0,1,0],[0,0,1]];
 function mat(){
  const cx=Math.cos(rx),sx=Math.sin(rx),cy=Math.cos(ry),sy=Math.sin(ry);
  const a=canvas.width/canvas.height,f=1.5,n=0.01*dist,fa=100*dist;
  const R=[[cy,0,sy],[sx*sy,cx,-sx*cy],[-cx*sy,sx,cx*cy]];
+ R3=R;
  const m=new Float32Array(16);
  for(let i=0;i<3;i++){m[i*4]=R[0][i];m[i*4+1]=R[1][i];m[i*4+2]=R[2][i];}
  let t=[0,0,0];
@@ -288,23 +340,41 @@ function mat(){
    s+=P[c2*4+k]*mv;}
   out[c2*4+r2]=s;}
  return out;}
+function bindCloudAttribs(){
+ gl.bindBuffer(gl.ARRAY_BUFFER,pbuf);
+ gl.enableVertexAttribArray(pl);
+ gl.vertexAttribPointer(pl,3,gl.FLOAT,false,0,0);
+ gl.bindBuffer(gl.ARRAY_BUFFER,cbuf);
+ gl.enableVertexAttribArray(cl);
+ gl.vertexAttribPointer(cl,3,gl.UNSIGNED_BYTE,true,0,0);
+ gl.bindBuffer(gl.ARRAY_BUFFER,nbuf);
+ gl.enableVertexAttribArray(nl);
+ gl.vertexAttribPointer(nl,3,gl.BYTE,true,0,0);}
 function draw(){
  canvas.width=innerWidth;canvas.height=innerHeight;
  gl.viewport(0,0,canvas.width,canvas.height);
- gl.clearColor(0.06,0.06,0.08,1);gl.clear(gl.COLOR_BUFFER_BIT);
+ gl.clearColor(0.06,0.06,0.08,1);
+ gl.clear(gl.COLOR_BUFFER_BIT|gl.DEPTH_BUFFER_BIT);
  const M=mat();
  gl.uniformMatrix4fv(mvpLoc,false,M);
+ const Rf=new Float32Array([R3[0][0],R3[1][0],R3[2][0],
+  R3[0][1],R3[1][1],R3[2][1],R3[0][2],R3[1][2],R3[2][2]]);
+ gl.uniformMatrix3fv(rotLoc,false,Rf);
+ gl.uniform1f(psLoc,2.0*sradius*1.5*canvas.height*0.5);
+ gl.uniform1i(modeLoc,mode);
  if(npts>0){
-  gl.uniform1f(psLoc,1.5);
-  gl.bindBuffer(gl.ARRAY_BUFFER,pbuf);
-  gl.enableVertexAttribArray(pl);
-  gl.vertexAttribPointer(pl,3,gl.FLOAT,false,0,0);
-  gl.bindBuffer(gl.ARRAY_BUFFER,cbuf);
-  gl.enableVertexAttribArray(cl);
-  gl.vertexAttribPointer(cl,3,gl.UNSIGNED_BYTE,true,0,0);
-  gl.drawArrays(gl.POINTS,0,npts);
+  bindCloudAttribs();
+  if(mode==2&&ntri>0){
+   gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER,ibuf);
+   gl.drawElements(gl.TRIANGLES,ntri*3,gl.UNSIGNED_INT,0);
+  }else{
+   gl.drawArrays(gl.POINTS,0,npts);
+  }
  }
  if(nlines>0){
+  gl.uniform1i(modeLoc,0);
+  gl.disableVertexAttribArray(nl);
+  gl.vertexAttrib3f(nl,0,0,1);
   gl.bindBuffer(gl.ARRAY_BUFFER,lbuf);
   gl.vertexAttribPointer(pl,3,gl.FLOAT,false,0,0);
   gl.bindBuffer(gl.ARRAY_BUFFER,lcbuf);
@@ -325,6 +395,7 @@ document.getElementById('pause').onclick=async()=>{
  document.getElementById('pause').textContent=paused?'resume':'pause';
  await fetch('/ctrl?pause='+(paused?1:0));};
 document.getElementById('step').onclick=()=>fetch('/ctrl?step=1');
+document.getElementById('mode').onchange=e=>{mode=parseInt(e.target.value);};
 const conf=document.getElementById('conf');
 conf.oninput=()=>{
  document.getElementById('confv').textContent=conf.value;

@@ -66,10 +66,24 @@ def test_live_viewer_serves_and_controls():
         assert meta["npts"] > 0 and meta["nfr"] > 0
 
         blob = urllib.request.urlopen(f"{base}/cloud").read()
-        npts, nfr, nedge, pad = struct.unpack("<4I", blob[:16])
+        npts, nfr, nedge, pad1, ntri, pad2 = struct.unpack(
+            "<6I", blob[:24]
+        )
         assert npts == meta["npts"] and nfr == meta["nfr"]
-        expect = 16 + npts * 15 + pad + (nfr + nedge) * 24
+        assert ntri == meta["ntri"] > 0        # mesh mode has triangles
+        assert meta["sradius"] > 0             # surfel mode has a radius
+        expect = (24 + npts * 12 + npts * 3 + pad1 + npts * 3 + pad2
+                  + (nfr + nedge) * 24 + ntri * 12)
         assert len(blob) == expect
+        # normals: unit-ish int8 vectors for every point
+        off = 24 + npts * 12 + npts * 3 + pad1
+        nrm = np.frombuffer(blob, np.int8, npts * 3, off).reshape(-1, 3)
+        ln = np.linalg.norm(nrm.astype(np.float32) / 127.0, axis=-1)
+        assert (np.abs(ln - 1.0) < 0.05).mean() > 0.9
+        # triangle indices reference valid points
+        toff = expect - ntri * 12
+        tri = np.frombuffer(blob, np.uint32, ntri * 3, toff)
+        assert tri.max() < npts
 
         # control channel
         urllib.request.urlopen(f"{base}/ctrl?pause=1&conf=2.5")
