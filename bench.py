@@ -236,7 +236,7 @@ def main():
 
     from mast3r_slam_tpu.inference import resize_img
 
-    rgb = np.random.default_rng(0).random((480, 640, 3)).astype(np.float32)
+    rgb = (np.random.default_rng(0).random((480, 640, 3)) * 255).astype(np.uint8)
     resize_img(rgb, 512)  # warm
     reps = 20
     t0 = time.time()

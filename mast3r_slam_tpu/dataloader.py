@@ -63,15 +63,21 @@ class MonocularDataset:
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
     def get_image(self, idx):
+        """Returns the (optionally undistorted) frame as uint8 RGB.
+
+        The reference converts to float here (dataloader.py:40-43); this
+        framework defers the float conversion to the resize/normalize step
+        (resize_img fuses it), saving two full-image float passes per
+        frame on the host.  All consumers accept uint8 or float."""
         img = self.read_img(idx)
         if self.use_calibration and self.camera_intrinsics is not None:
             img = self.camera_intrinsics.remap(img)
-        return img.astype(self.dtype) / 255.0
+        return img
 
     def get_img_shape(self):
         img = self.read_img(0)
         raw_img_shape = img.shape
-        out = resize_img(img.astype(np.float32) / 255.0, self.img_size)
+        out = resize_img(img, self.img_size)
         return out["img"][0].shape[:2], raw_img_shape[:2]
 
     def subsample(self, subsample: int):

@@ -274,7 +274,12 @@ def resize_img(img: np.ndarray, size: int = 512, square_ok: bool = False,
     from PIL import Image
 
     assert size in (224, 512)
-    pil = Image.fromarray(np.uint8(np.clip(img, 0, 1) * 255))
+    if img.dtype == np.uint8:
+        # fast path: no float->uint8 round trip (bit-identical result —
+        # the float path quantizes through the same uint8 image)
+        pil = Image.fromarray(img)
+    else:
+        pil = Image.fromarray(np.uint8(np.clip(img, 0, 1) * 255))
     W1, H1 = pil.size
 
     def _resize_long(p, long_edge):
@@ -298,8 +303,11 @@ def resize_img(img: np.ndarray, size: int = 512, square_ok: bool = False,
             halfh = int(3 * halfw / 4)
         pil = pil.crop((cx - halfw, cy - halfh, cx + halfw, cy + halfh))
 
-    arr = np.asarray(pil).astype(np.float32) / 255.0
-    normed = (arr - IMGNORM_MEAN) / IMGNORM_STD
+    arr8 = np.asarray(pil)
+    arr = arr8.astype(np.float32) * (1.0 / 255.0)
+    # (x/255 - 0.5)/0.5 == x/127.5 - 1 exactly; one fused pass instead of
+    # divide + subtract + divide (ImgNorm with mean=std=0.5)
+    normed = arr8.astype(np.float32) * (1.0 / 127.5) - 1.0
     res = {
         "img": normed[None],
         "true_shape": np.int32([pil.size[::-1]]),

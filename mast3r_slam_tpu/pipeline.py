@@ -171,11 +171,16 @@ class SLAMSystem:
         create_frame, frame.py:111-122 + feature caching)."""
         with profiler.timer("create_frame"):
             if img.shape[:2] == self.img_hw:
-                # already at network resolution (synthetic harness)
-                from .inference import IMGNORM_MEAN, IMGNORM_STD
+                # already at network resolution (synthetic harness or
+                # pre-sized dataset); uint8 takes the fused fast path
+                if img.dtype == np.uint8:
+                    uimg_np = img.astype(np.float32) * (1.0 / 255.0)
+                    normed = img.astype(np.float32) * (1.0 / 127.5) - 1.0
+                else:
+                    from .inference import IMGNORM_MEAN, IMGNORM_STD
 
-                uimg_np = np.clip(img, 0.0, 1.0).astype(np.float32)
-                normed = (uimg_np - IMGNORM_MEAN) / IMGNORM_STD
+                    uimg_np = np.clip(img, 0.0, 1.0).astype(np.float32)
+                    normed = (uimg_np - IMGNORM_MEAN) / IMGNORM_STD
                 device_img = jnp.asarray(normed)
                 uimg = jnp.asarray(uimg_np)
             else:

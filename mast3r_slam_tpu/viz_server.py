@@ -131,9 +131,9 @@ class LiveViewer:
         import cv2
 
         img = np.asarray(uimg)
-        bgr = cv2.cvtColor(
-            (np.clip(img, 0, 1) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR
-        )
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        bgr = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
         ok, enc = cv2.imencode(".png", bgr)
         if not ok:  # pragma: no cover
             return

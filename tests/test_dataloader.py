@@ -47,7 +47,8 @@ def test_tum_dataset(tmp_path, calib_cfg):
     assert abs(ds.camera_intrinsics.K_orig[0, 0] - 517.3) < 1e-6
     ts, img = ds[0]
     assert float(ts) == pytest.approx(1000.0)
-    assert img.dtype == np.float32 and img.max() <= 1.0
+    # uint8 end-to-end: the float conversion is fused into resize_img
+    assert img.dtype == np.uint8 and img.shape[-1] == 3
     ds.subsample(2)
     assert len(ds) == 2
 
