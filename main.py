@@ -212,6 +212,19 @@ def main():
     if args.max_frames:
         n = min(n, args.max_frames)
     fps_timer = time.time()
+
+    # Prefetch pipeline: frame i+1's host work (imread + undistort +
+    # resize + ImgNorm) overlaps frame i's device compute.  prepare_image
+    # is pure, so single-thread eval determinism is unaffected; the
+    # reference pays this serially every frame (main.py:309-319).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load(idx):
+        ts, raw = dataset[idx]
+        return ts, raw, system.prepare_image(raw)
+
+    prefetch = ThreadPoolExecutor(max_workers=1)
+    fut = prefetch.submit(load, 0)
     for i in range(n):
         if viewer is not None:
             # pause/step control channel (reference WindowMsg semantics:
@@ -222,8 +235,10 @@ def main():
                 msg = viewer.get_msg()
             if msg.is_paused:
                 viewer.consume_step()
-        timestamp, img = dataset[i]
-        info = system.process_frame(i, img)
+        timestamp, img, prepared = fut.result()
+        if i + 1 < n:
+            fut = prefetch.submit(load, i + 1)
+        info = system.process_frame(i, prepared)
         if viewer is not None and i % 3 == 0:
             # current-frame preview mailbox (reference states.set_frame,
             # visualization.py:109-129)
@@ -236,6 +251,7 @@ def main():
         if i % 30 == 0 and i > 0:
             print(f"FPS: {i / (time.time() - fps_timer):.2f}  "
                   f"mode={info['mode']} kf={system.stats['keyframes']}")
+    prefetch.shutdown(wait=False)
     system.terminate()
     if viewer is not None:
         viewer.publish(system.arena, stats=system.stats)

@@ -62,6 +62,7 @@ class BAConfig(NamedTuple):
     chunk_points: int = 8192
     damping: float = 1e-6     # relative LM damping for the fp32 solve
     huber_k: float = 1.345
+    points_subsample: int = 1  # stride-s subset of each edge's pixels
 
     @classmethod
     def from_config(cls, cfg: dict) -> "BAConfig":
@@ -80,6 +81,7 @@ class BAConfig(NamedTuple):
             pixel_border=int(lo["pixel_border"]),
             depth_eps=float(lo["depth_eps"]),
             chunk_points=int(lo.get("chunk_points", 8192)),
+            points_subsample=int(lo.get("points_subsample", 1)),
         )
 
 
@@ -367,6 +369,16 @@ class EdgeData(NamedTuple):
 
 def _pregather_edges(Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
                      edge_valid, cfg: BAConfig, C: int) -> EdgeData:
+    s = max(int(cfg.points_subsample), 1)
+    if s > 1:
+        # Statistical point subsampling (config local_opt.points_subsample):
+        # the BA residual set is a stride-s subset of each edge's pixels.
+        # The pregather row gather is the BA round's dominant cost on TPU
+        # (row-count-bound gather engine), so cost drops ~1/s; the pose
+        # system keeps N/s >= ~49k residuals per edge at s=4.
+        idx_ii2jj = idx_ii2jj[:, ::s]
+        valid_match = valid_match[:, ::s]
+        Q = Q[:, ::s]
     E, N = idx_ii2jj.shape
     P, Nx = Xs.shape[0], Xs.shape[1]
     ind = jnp.where(valid_match, idx_ii2jj, 0)
@@ -376,8 +388,8 @@ def _pregather_edges(Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
     )
     gi = src_i[ii[:, None] * Nx + ind]                # (E, N, 4)
     Xi, ci = jnp.moveaxis(gi[..., :3], -1, 1), gi[..., 3]
-    Xj = jnp.moveaxis(Xs[jj], -1, 1)                  # (E, 3, N)
-    cj = Cs[jj]
+    Xj = jnp.moveaxis(Xs[jj][:, ::s], -1, 1)          # (E, 3, N)
+    cj = Cs[jj][:, ::s]
     static_valid = (
         valid_match & (Q > cfg.Q_conf) & (ci > cfg.C_conf)
         & (cj > cfg.C_conf) & edge_valid[:, None]

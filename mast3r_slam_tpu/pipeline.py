@@ -166,27 +166,39 @@ class SLAMSystem:
     # Frame ingestion
     # ------------------------------------------------------------------
 
-    def create_frame(self, i: int, img: np.ndarray) -> Frame:
-        """Host decode -> device frame with encoder features (reference
-        create_frame, frame.py:111-122 + feature caching)."""
-        with profiler.timer("create_frame"):
-            if img.shape[:2] == self.img_hw:
-                # already at network resolution (synthetic harness or
-                # pre-sized dataset); uint8 takes the fused fast path
-                if img.dtype == np.uint8:
-                    uimg_np = img.astype(np.float32) * (1.0 / 255.0)
-                    normed = img.astype(np.float32) * (1.0 / 127.5) - 1.0
-                else:
-                    from .inference import IMGNORM_MEAN, IMGNORM_STD
-
-                    uimg_np = np.clip(img, 0.0, 1.0).astype(np.float32)
-                    normed = (uimg_np - IMGNORM_MEAN) / IMGNORM_STD
-                device_img = jnp.asarray(normed)
-                uimg = jnp.asarray(uimg_np)
+    def prepare_image(self, img: np.ndarray):
+        """Host-only part of frame creation (resize + ImgNorm): pure numpy,
+        safe to run on a prefetch thread overlapping device work.  Returns
+        (normalized (h, w, 3) f32, unnormalized (h, w, 3) f32)."""
+        if img.shape[:2] == self.img_hw:
+            # already at network resolution (synthetic harness or
+            # pre-sized dataset); uint8 takes the fused fast path
+            if img.dtype == np.uint8:
+                uimg_np = img.astype(np.float32) * (1.0 / 255.0)
+                normed = img.astype(np.float32) * (1.0 / 127.5) - 1.0
             else:
-                out = resize_img(img, self.img_size)
-                device_img = jnp.asarray(out["img"][0], jnp.float32)
-                uimg = jnp.asarray(out["unnormalized_img"], jnp.float32)
+                from .inference import IMGNORM_MEAN, IMGNORM_STD
+
+                uimg_np = np.clip(img, 0.0, 1.0).astype(np.float32)
+                normed = (uimg_np - IMGNORM_MEAN) / IMGNORM_STD
+            return normed, uimg_np
+        out = resize_img(img, self.img_size)
+        return np.asarray(out["img"][0], np.float32), \
+            np.asarray(out["unnormalized_img"], np.float32)
+
+    def create_frame(self, i: int, img) -> Frame:
+        """Host decode -> device frame with encoder features (reference
+        create_frame, frame.py:111-122 + feature caching).  ``img`` is a
+        raw image array OR an already-prepared (normed, uimg) tuple from
+        :meth:`prepare_image` (the prefetch path in main.py overlaps that
+        host work with the previous frame's device compute)."""
+        with profiler.timer("create_frame"):
+            if isinstance(img, tuple):
+                normed, uimg_np = img
+            else:
+                normed, uimg_np = self.prepare_image(img)
+            device_img = jnp.asarray(normed)
+            uimg = jnp.asarray(uimg_np)
         with profiler.timer("vit_encode"):
             feat, pos = self.engine.encode(device_img[None])
         h, w = self.img_hw
