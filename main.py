@@ -59,6 +59,11 @@ def parse_args():
                    help="INT8-quantized catMLP local-feature MLPs (the "
                         "dominant head weight-read block); cosine-accepted "
                         "vs fp in tests/test_quant.py")
+    p.add_argument("--backend-device", type=int, default=None,
+                   help="run the backend (keyframe decode+match + BA) on "
+                        "this device index: the multi-chip form of the "
+                        "reference's frontend/backend process split "
+                        "(requires >=2 devices; see pipeline.py)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--gt", default="", help="TUM-format GT for ATE scoring")
     p.add_argument("--profile", action="store_true")
@@ -199,7 +204,8 @@ def main():
         else:
             print("[warn] retrieval checkpoint/codebook not found - "
                   "loop closure and relocalization proposals disabled")
-    system = SLAMSystem(config, engine, (h, w), K=K, retrieval=retrieval)
+    system = SLAMSystem(config, engine, (h, w), K=K, retrieval=retrieval,
+                        backend_device=args.backend_device)
 
     viewer = None
     if not args.no_viz:

@@ -122,8 +122,15 @@ class FactorGraph:
     default (unbounded)."""
 
     def __init__(self, engine: InferenceEngine, hw: int, cfg: dict,
-                 K=None):
+                 K=None, device=None, params=None):
+        """``device``/``params``: optional backend-chip placement for the
+        two-device frontend/backend split (pipeline.py): edge state lives
+        on ``device`` and the symmetric decode runs there with ``params``
+        (that chip's copy of the weights), so backend rounds steal no
+        frontend device time."""
         self.engine = engine
+        self.device = device
+        self.params = params
         self.cfg = ba.BAConfig.from_config(cfg)
         self.local_cfg = cfg["local_opt"]
         self.max_edges = int(self.local_cfg.get("max_edges", 256))
@@ -136,12 +143,14 @@ class FactorGraph:
         self.ii = np.zeros((E,), np.int32)
         self.jj = np.zeros((E,), np.int32)
         self.n_edges = 0
-        self.idx_ii2jj = jnp.zeros((E, hw), jnp.int32)
-        self.idx_jj2ii = jnp.zeros((E, hw), jnp.int32)
-        self.valid_match_j = jnp.zeros((E, hw), bool)
-        self.valid_match_i = jnp.zeros((E, hw), bool)
-        self.Q_ii2jj = jnp.zeros((E, hw), jnp.float32)
-        self.Q_jj2ii = jnp.zeros((E, hw), jnp.float32)
+        put = (lambda a: jax.device_put(a, device)) if device is not None \
+            else (lambda a: a)
+        self.idx_ii2jj = put(jnp.zeros((E, hw), jnp.int32))
+        self.idx_jj2ii = put(jnp.zeros((E, hw), jnp.int32))
+        self.valid_match_j = put(jnp.zeros((E, hw), bool))
+        self.valid_match_i = put(jnp.zeros((E, hw), bool))
+        self.Q_ii2jj = put(jnp.zeros((E, hw), jnp.float32))
+        self.Q_jj2ii = put(jnp.zeros((E, hw), jnp.float32))
 
     # -- edge construction --------------------------------------------------
 
@@ -184,10 +193,12 @@ class FactorGraph:
         sel_i = jnp.asarray(ii_pad, jnp.int32)
         sel_j = jnp.asarray(jj_pad, jnp.int32)
 
+        kw = {} if self.params is None else {"params": self.params}
         (idx_i2j, idx_j2i, valid_match_j, valid_match_i,
          Qii, Qjj, Qji, Qij) = self.engine.match_symmetric(
             arena.feat[sel_i], arena.pos[sel_i],
             arena.feat[sel_j], arena.pos[sel_j],
+            **kw,
         )
         Qj, Qi, match_frac_j, match_frac_i = _gate_edges(
             idx_i2j, idx_j2i, valid_match_j, valid_match_i,

@@ -223,10 +223,13 @@ class InferenceEngine:
 
         return quad(X1, X2), quad(C1, C2), quad(D1, D2), quad(Q1, Q2)
 
-    def match_symmetric(self, feat_i, pos_i, feat_j, pos_j):
+    def match_symmetric(self, feat_i, pos_i, feat_j, pos_j, params=None):
         """Symmetric decode + two-directional match
-        (mast3r_utils.py:149-187)."""
-        return self._match_sym(self.params, feat_i, pos_i, feat_j, pos_j)
+        (mast3r_utils.py:149-187).  ``params`` overrides the engine params
+        — used by the two-device frontend/backend split to run the backend
+        decode on its own chip's weight copy (pipeline.py)."""
+        return self._match_sym(params if params is not None else self.params,
+                               feat_i, pos_i, feat_j, pos_j)
 
     def _match_symmetric_impl(self, params, feat_i, pos_i, feat_j, pos_j):
         X, C, D, Q = self._decode_symmetric_batch_impl(

@@ -60,9 +60,22 @@ class SLAMSystem:
 
     def __init__(self, cfg: dict, engine, img_hw,
                  K: Optional[np.ndarray] = None, retrieval=None,
-                 buffer: Optional[int] = None):
+                 buffer: Optional[int] = None,
+                 backend_device: Optional[int] = None):
         """``engine`` is an InferenceEngine (real model) or any object with
-        the same interface (e.g. the oracle harness in testing.py)."""
+        the same interface (e.g. the oracle harness in testing.py).
+
+        ``backend_device`` (or cfg key ``backend_device``) pins the
+        backend's device work — the symmetric 2E-batch decode+match of
+        ``add_factors`` and the BA solve — to a SECOND chip: the backend
+        keeps an incrementally-synced mirror of the keyframe arena there
+        (keyframe rows are immutable once a newer keyframe exists, so each
+        round transfers only the rows appended/fused since the last round,
+        ~7 MB/row over ICI) and only the optimized poses (8 floats/kf) flow
+        back.  This is the multi-chip form of the reference's
+        frontend/backend process split (main.py:87-165): on one chip the
+        device serializes frontend and backend compute; with a backend
+        chip, keyframe rounds steal no frontend device time at all."""
         self.cfg = cfg
         self.img_hw = img_hw
         h, w = img_hw
@@ -83,9 +96,38 @@ class SLAMSystem:
             # independent copy: the arena pytree is donated on append, so it
             # must not alias self.K
             self.arena = self.arena.replace(K=jnp.array(self.K))
-        self.graph = FactorGraph(
-            self.engine, h * w, cfg, K=K if self.use_calib else None
-        )
+        if backend_device is None:
+            backend_device = cfg.get("backend_device", None)
+        self._bdev = None
+        if backend_device is not None:
+            devs = jax.devices()
+            if int(backend_device) < len(devs):
+                self._bdev = devs[int(backend_device)]
+            else:
+                print(f"backend_device={backend_device} unavailable "
+                      f"({len(devs)} devices); running single-device")
+        self._front_dev = jax.devices()[0]
+        if self._bdev is not None:
+            bparams = (
+                jax.device_put(self.engine.params, self._bdev)
+                if getattr(self.engine, "params", None) is not None else None
+            )
+            self.graph = FactorGraph(
+                self.engine, h * w, cfg, K=K if self.use_calib else None,
+                device=self._bdev, params=bparams,
+            )
+            # mirror arena on the backend chip + incremental sync state
+            self._marena: KeyframeArena = jax.device_put(
+                self.arena, self._bdev
+            )
+            self._mirror_set = jax.jit(arena_set, donate_argnums=(0,))
+            self._row_get = jax.jit(arena_get)
+            self._dirty: set = set()
+            self._n_kf_host = 0
+        else:
+            self.graph = FactorGraph(
+                self.engine, h * w, cfg, K=K if self.use_calib else None
+            )
         self.retrieval = retrieval or NullRetrieval()
 
         self.mode = Mode.INIT
@@ -155,12 +197,40 @@ class SLAMSystem:
             fn = self._append if self._readers == 0 else \
                 self._append_nodonate
             self.arena = fn(self.arena, frame)
+            if self._bdev is not None:
+                self._n_kf_host += 1
+                self._dirty.add(self._n_kf_host - 1)
 
     def _arena_set_last(self, kf: Frame):
         with self._lock:
             fn = self._set_last if self._readers == 0 else \
                 self._set_last_nodonate
             self.arena = fn(self.arena, kf)
+            if self._bdev is not None:
+                self._dirty.add(self._n_kf_host - 1)
+
+    def _sync_mirror(self) -> KeyframeArena:
+        """Push keyframe rows written since the last backend round to the
+        backend chip's mirror arena, plus the (tiny) pose table and fill
+        count.  Rows are immutable once a newer keyframe exists, so steady
+        state transfers one row per keyframe cadence."""
+        with self._lock:
+            dirty = sorted(self._dirty)
+            self._dirty.clear()
+            self._readers += 1
+            arena = self.arena
+        try:
+            for idx in dirty:
+                row = self._row_get(arena, idx)
+                row = jax.device_put(row, self._bdev)
+                self._marena = self._mirror_set(self._marena, idx, row)
+            self._marena = self._marena.replace(
+                T_WC=jax.device_put(arena.T_WC, self._bdev),
+                n_size=jax.device_put(arena.n_size, self._bdev),
+            )
+        finally:
+            self._release_arena()
+        return self._marena
 
     # ------------------------------------------------------------------
     # Frame ingestion
@@ -322,7 +392,12 @@ class SLAMSystem:
         n_consec = 1
         for j in range(min(n_consec, idx)):
             kf_idx.append(idx - 1 - j)
-        snap = self._acquire_arena()
+        if self._bdev is not None:
+            snap = self._sync_mirror()
+            release = lambda: None  # noqa: E731 — mirror is backend-private
+        else:
+            snap = self._acquire_arena()
+            release = self._release_arena
         try:
             frame = arena_get(snap, idx)
             retrieval_inds = self.retrieval.update(
@@ -341,7 +416,7 @@ class SLAMSystem:
                     )
             self._solve_graph(snap)
         finally:
-            self._release_arena()
+            release()
 
     def _solve_graph(self, snap: KeyframeArena):
         """Solve on the snapshot, then scatter ONLY the optimized keyframe
@@ -356,6 +431,10 @@ class SLAMSystem:
             if res is None:
                 return
             upd, Twc_new, stats = res
+            if self._bdev is not None:
+                # only the optimized poses cross chips (8 floats/kf)
+                upd = jax.device_put(upd, self._front_dev)
+                Twc_new = jax.device_put(Twc_new, self._front_dev)
             with self._lock:
                 self.arena = self.arena.replace(
                     T_WC=self._merge_poses(self.arena.T_WC, Twc_new, upd)
@@ -363,9 +442,16 @@ class SLAMSystem:
         if stats is not None:
             self.stats["ba_rounds"] += 1
 
+    def _snapshot(self):
+        """Consistent backend view of the arena: the mirror (backend-chip
+        mode) or a reader-pinned reference (single-device)."""
+        if self._bdev is not None:
+            return self._sync_mirror(), (lambda: None)
+        return self._acquire_arena(), self._release_arena
+
     def _relocalization(self, frame: Frame) -> bool:
         """main.py:41-84."""
-        snap = self._acquire_arena()
+        snap, release = self._snapshot()
         try:
             kf_idx = list(
                 self.retrieval.update(
@@ -375,11 +461,11 @@ class SLAMSystem:
                 )
             )
         finally:
-            self._release_arena()
+            release()
         if not kf_idx:
             return False
         self._arena_append(frame)
-        snap = self._acquire_arena()
+        snap, release = self._snapshot()
         try:
             n_kf = int(snap.n_size)
             frame_idx = [n_kf - 1] * len(kf_idx)
@@ -389,7 +475,7 @@ class SLAMSystem:
                 is_reloc=bool(self.cfg["reloc"]["strict"]),
             )
         finally:
-            self._release_arena()
+            release()
         if success:
             self.retrieval.update(
                 frame, self.arena, add_after_query=True,
@@ -405,14 +491,17 @@ class SLAMSystem:
                 self.last_T_WC = self.arena.T_WC[n_kf - 1]
             self.stats["keyframes"] += 1
             self.tracker.reset_idx_f2k()
-            snap = self._acquire_arena()
+            snap, release = self._snapshot()
             try:
                 self._solve_graph(snap)
             finally:
-                self._release_arena()
+                release()
             return True
         with self._lock:
             self.arena = arena_pop_last(self.arena)
+            if self._bdev is not None:
+                self._n_kf_host -= 1
+                self._dirty.discard(self._n_kf_host)
         return False
 
     # ------------------------------------------------------------------
@@ -481,6 +570,9 @@ class SLAMSystem:
         g.Q_jj2ii = jnp.asarray(d["graph_Qi"])
         for k, v in zip(sorted(self.stats), d["stats"]):
             self.stats[k] = int(v)
+        if self._bdev is not None:  # mirror is stale: full resync next round
+            self._n_kf_host = int(self.arena.n_size)
+            self._dirty = set(range(self._n_kf_host))
         self.tracker.reset_idx_f2k()
 
     def drain(self):

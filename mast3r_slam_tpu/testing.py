@@ -262,7 +262,7 @@ class OracleEngine:
         return (jnp.asarray(X[None]),
                 jnp.full((1, self.hw, 1), 10.0, jnp.float32))
 
-    def match_symmetric(self, feat_i, pos_i, feat_j, pos_j):
+    def match_symmetric(self, feat_i, pos_i, feat_j, pos_j, params=None):
         B = feat_i.shape[0]
         idx_i2j = np.zeros((B, self.hw), np.int32)
         idx_j2i = np.zeros((B, self.hw), np.int32)
