@@ -82,20 +82,12 @@ def _write_poses(T_arena, Twc_new, upd_idx):
     return T_arena.at[upd_idx].set(Twc_new, mode="drop")
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("E_bucket", "residual_type", "img_wh", "cfg",
-                     "use_calib"),
-)
-def _prep_and_solve(X_arena, C_arena, N_arena, T_arena,
-                    idx_ii2jj, idx_jj2ii, vmj, vmi, Qj_arr, Qi_arr,
-                    uidx, ii2, jj2, edge_valid, K,
-                    E_bucket: int, residual_type: str, img_wh,
-                    cfg: ba.BAConfig, use_calib: bool):
-    """Slice edge arrays to the bucket, build the two-way system, gather the
-    compact pose/point set, and run the GN solve — one fused executable."""
-    hw = idx_ii2jj.shape[1]
-
+def _prep_system(X_arena, C_arena, N_arena, T_arena,
+                 idx_ii2jj, idx_jj2ii, vmj, vmi, Qj_arr, Qi_arr,
+                 uidx, K, E_bucket, img_wh, use_calib):
+    """Slice edge arrays to the bucket, build the two-way system, and gather
+    the compact pose/point set (shared by the single-device and sharded
+    solve paths)."""
     def sl(a):
         return jax.lax.dynamic_slice_in_dim(a, 0, E_bucket, axis=0)
 
@@ -109,10 +101,61 @@ def _prep_and_solve(X_arena, C_arena, N_arena, T_arena,
     if use_calib:
         w, h = img_wh
         Xs = constrain_points_to_ray((h, w), Xs, K)
+    return Twc, Xs, Cs, idx2, vm2, Q2
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("E_bucket", "residual_type", "img_wh", "cfg",
+                     "use_calib"),
+)
+def _prep_and_solve(X_arena, C_arena, N_arena, T_arena,
+                    idx_ii2jj, idx_jj2ii, vmj, vmi, Qj_arr, Qi_arr,
+                    uidx, ii2, jj2, edge_valid, K,
+                    E_bucket: int, residual_type: str, img_wh,
+                    cfg: ba.BAConfig, use_calib: bool):
+    """Prep + single-device GN solve — one fused executable."""
+    Twc, Xs, Cs, idx2, vm2, Q2 = _prep_system(
+        X_arena, C_arena, N_arena, T_arena, idx_ii2jj, idx_jj2ii,
+        vmj, vmi, Qj_arr, Qi_arr, uidx, K, E_bucket, img_wh, use_calib,
+    )
     return ba.gauss_newton(
         Twc, Xs, Cs, ii2, jj2, idx2, vm2, Q2, edge_valid, K,
         residual_type, img_wh, cfg,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "shard_mode", "E_bucket", "residual_type",
+                     "img_wh", "cfg", "use_calib"),
+)
+def _prep_and_solve_sharded(X_arena, C_arena, N_arena, T_arena,
+                            idx_ii2jj, idx_jj2ii, vmj, vmi, Qj_arr, Qi_arr,
+                            uidx, ii2, jj2, edge_valid, K,
+                            mesh, shard_mode: str, E_bucket: int,
+                            residual_type: str, img_wh,
+                            cfg: ba.BAConfig, use_calib: bool):
+    """Prep + DISTRIBUTED GN solve over the mesh's 'edge' axis:
+    shard_mode 'edge' shards the per-edge Hessian accumulation
+    (parallel.sharded_ba.sharded_gauss_newton — one psum of the pose
+    system per iteration); 'map' additionally shards the keyframe
+    pointmaps over devices (sharded_gauss_newton_mapshard — the
+    map-outgrows-one-chip tier)."""
+    from .parallel.sharded_ba import (
+        sharded_gauss_newton,
+        sharded_gauss_newton_mapshard,
+    )
+
+    Twc, Xs, Cs, idx2, vm2, Q2 = _prep_system(
+        X_arena, C_arena, N_arena, T_arena, idx_ii2jj, idx_jj2ii,
+        vmj, vmi, Qj_arr, Qi_arr, uidx, K, E_bucket, img_wh, use_calib,
+    )
+    fn = sharded_gauss_newton if shard_mode == "edge" else \
+        sharded_gauss_newton_mapshard
+    return fn(
+        mesh, Twc, Xs, Cs, ii2, jj2, idx2, vm2, Q2, edge_valid, K,
+        residual_type, img_wh, cfg, return_stats=True,
     )
 
 
@@ -122,15 +165,32 @@ class FactorGraph:
     default (unbounded)."""
 
     def __init__(self, engine: InferenceEngine, hw: int, cfg: dict,
-                 K=None, device=None, params=None):
+                 K=None, device=None, params=None, mesh=None,
+                 shard_mode: str = "edge"):
         """``device``/``params``: optional backend-chip placement for the
         two-device frontend/backend split (pipeline.py): edge state lives
         on ``device`` and the symmetric decode runs there with ``params``
         (that chip's copy of the weights), so backend rounds steal no
-        frontend device time."""
+        frontend device time.
+
+        ``mesh``: optional jax.sharding.Mesh with an 'edge' axis — the BA
+        solve then runs DISTRIBUTED (parallel/sharded_ba.py): 'edge' mode
+        shards the per-edge Hessian accumulation, 'map' mode additionally
+        shards the keyframe pointmaps over devices.  Mutually exclusive
+        with ``device`` (the two-device split)."""
+        if mesh is not None and device is not None:
+            raise ValueError(
+                "FactorGraph: mesh-sharded BA and backend-device placement "
+                "are mutually exclusive (the mesh jit spans all its "
+                "devices; run the sharded BA on the full mesh instead)")
         self.engine = engine
         self.device = device
         self.params = params
+        self.mesh = mesh
+        self.shard_mode = shard_mode
+        self._mesh_D = (
+            int(mesh.shape["edge"]) if mesh is not None else 1
+        )
         self.cfg = ba.BAConfig.from_config(cfg)
         self.local_cfg = cfg["local_opt"]
         self.max_edges = int(self.local_cfg.get("max_edges", 256))
@@ -261,8 +321,13 @@ class FactorGraph:
         if P <= pin:
             return None
 
-        E_bucket = _next_bucket(n, 4)
-        P_pad = _next_bucket(P, 2)
+        D = self._mesh_D
+        # sharded path: 2*E_bucket and (map mode) P_pad must divide over
+        # the edge axis; power-of-two buckets with a raised floor guarantee
+        # it for any power-of-two D
+        E_bucket = _next_bucket(n, max(4, D // 2))
+        P_pad = _next_bucket(P, 2 if D == 1 or self.shard_mode != "map"
+                             else D)
 
         remap = {int(k): c for c, k in enumerate(unique)}
         ii_c = np.array([remap[int(k)] for k in self.ii[:n]], np.int32)
@@ -282,16 +347,24 @@ class FactorGraph:
         h, w = arena.img_hw
         K = jnp.asarray(self.K) if self.K is not None else jnp.eye(3)
 
-        Twc_new, iters, delta, ok = _prep_and_solve(
+        common = (
             arena.X, arena.C, arena.N, arena.T_WC,
             self.idx_ii2jj, self.idx_jj2ii,
             self.valid_match_j, self.valid_match_i,
             self.Q_ii2jj, self.Q_jj2ii,
             jnp.asarray(unique_pad), jnp.asarray(ii2), jnp.asarray(jj2),
             jnp.asarray(ev), K,
-            E_bucket, residual_type, (w, h), self.cfg,
-            residual_type == "calib",
         )
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            Twc_new, iters, delta, ok = _prep_and_solve_sharded(
+                *common, self.mesh, self.shard_mode, E_bucket,
+                residual_type, (w, h), self.cfg, residual_type == "calib",
+            )
+        else:
+            Twc_new, iters, delta, ok = _prep_and_solve(
+                *common, E_bucket, residual_type, (w, h), self.cfg,
+                residual_type == "calib",
+            )
         # non-pinned unique poses get scattered back by the caller;
         # pinned/padded rows get an out-of-range target and are dropped
         buffer = arena.T_WC.shape[0]

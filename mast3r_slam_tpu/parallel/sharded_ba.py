@@ -36,10 +36,14 @@ from ..ops import lie_sim3 as sim3
 
 def sharded_gauss_newton(mesh: Mesh, Twc, Xs, Cs, ii, jj, idx_ii2jj,
                          valid_match, Q, edge_valid, K,
-                         residual_type: str, img_wh, cfg: ba.BAConfig):
+                         residual_type: str, img_wh, cfg: ba.BAConfig,
+                         return_stats: bool = False):
     """Distributed version of ops.ba.gauss_newton: edges sharded over the
     'edge' mesh axis.  All inputs as in the single-device API; edge-indexed
-    arrays must have leading dim divisible by the edge axis size."""
+    arrays must have leading dim divisible by the edge axis size.
+    ``return_stats`` additionally returns (iters, delta, ok) to match the
+    single-device ``gauss_newton`` API (used by the FactorGraph sharded
+    path)."""
     residual, R = ba._RESIDUALS[residual_type]
     P_n = Twc.shape[0]
     Cs2 = Cs[..., 0] if Cs.ndim == 3 else Cs
@@ -53,7 +57,7 @@ def sharded_gauss_newton(mesh: Mesh, Twc, Xs, Cs, ii, jj, idx_ii2jj,
         shard_map, mesh=mesh,
         in_specs=(rspec, rspec, rspec, espec, espec, espec, espec, espec,
                   espec, rspec),
-        out_specs=rspec,
+        out_specs=(rspec, rspec, rspec, rspec) if return_stats else rspec,
         check_vma=False,
     )
     def run(Twc, Xs, Cs2, ii, jj, idx, vm, Q2, ev, K):
@@ -92,6 +96,8 @@ def sharded_gauss_newton(mesh: Mesh, Twc, Xs, Cs, ii, jj, idx_ii2jj,
         init = (Twc, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf),
                 jnp.ones((), bool), jnp.zeros((), bool))
         Twc_out, iters, delta, ok, _ = jax.lax.while_loop(cond, body, init)
+        if return_stats:
+            return Twc_out, iters, delta, ok
         return Twc_out
 
     args = (Twc, Xs, Cs2, ii, jj, idx_ii2jj, vm2, Q2, edge_valid, K)
@@ -102,7 +108,8 @@ def sharded_gauss_newton(mesh: Mesh, Twc, Xs, Cs, ii, jj, idx_ii2jj,
 def sharded_gauss_newton_mapshard(mesh: Mesh, Twc, Xs, Cs, ii, jj,
                                   idx_ii2jj, valid_match, Q, edge_valid, K,
                                   residual_type: str, img_wh,
-                                  cfg: ba.BAConfig):
+                                  cfg: ba.BAConfig,
+                                  return_stats: bool = False):
     """Keyframe-axis (map-sharded) distributed GN — the multi-host tier of
     SURVEY §2.4: the pointmap arena ``Xs``/``Cs`` is SHARDED over the mesh
     axis (each host stores only P/D keyframes — this is what lets the map
@@ -145,7 +152,7 @@ def sharded_gauss_newton_mapshard(mesh: Mesh, Twc, Xs, Cs, ii, jj,
         shard_map, mesh=mesh,
         in_specs=(rspec, kfspec, kfspec, rspec, rspec, rspec, rspec, rspec,
                   rspec, rspec),
-        out_specs=rspec,
+        out_specs=(rspec, rspec, rspec, rspec) if return_stats else rspec,
         check_vma=False,
     )
     def run(Twc, Xs_loc, Cs_loc, ii, jj, idx, vm, Q2, ev, K):
@@ -229,6 +236,8 @@ def sharded_gauss_newton_mapshard(mesh: Mesh, Twc, Xs, Cs, ii, jj,
         init = (Twc, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf),
                 jnp.ones((), bool), jnp.zeros((), bool))
         Twc_out, iters, delta, ok, _ = jax.lax.while_loop(cond, body, init)
+        if return_stats:
+            return Twc_out, iters, delta, ok
         return Twc_out
 
     args = (Twc, Xs, Cs2, ii, jj, idx_ii2jj, vm2, Q2, edge_valid, K)

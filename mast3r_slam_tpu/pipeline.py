@@ -98,6 +98,9 @@ class SLAMSystem:
             self.arena = self.arena.replace(K=jnp.array(self.K))
         if backend_device is None:
             backend_device = cfg.get("backend_device", None)
+        # local_opt.sharded_ba: null | edge | map — distributed BA over all
+        # devices (parallel/sharded_ba.py via FactorGraph(mesh=...))
+        shard_mode = cfg["local_opt"].get("sharded_ba") or None
         self._bdev = None
         if backend_device is not None:
             devs = jax.devices()
@@ -112,6 +115,9 @@ class SLAMSystem:
                 jax.device_put(self.engine.params, self._bdev)
                 if getattr(self.engine, "params", None) is not None else None
             )
+            if shard_mode:
+                print("backend_device takes precedence over "
+                      "local_opt.sharded_ba (mutually exclusive)")
             self.graph = FactorGraph(
                 self.engine, h * w, cfg, K=K if self.use_calib else None,
                 device=self._bdev, params=bparams,
@@ -125,8 +131,20 @@ class SLAMSystem:
             self._dirty: set = set()
             self._n_kf_host = 0
         else:
+            mesh = None
+            if shard_mode:
+                from .parallel.mesh import make_mesh
+
+                n_dev = len(jax.devices())
+                n_edge = 1 << (n_dev.bit_length() - 1)  # pow2 <= n_dev
+                if n_edge > 1:
+                    mesh = make_mesh(n_edge=n_edge)
+                else:
+                    print("local_opt.sharded_ba requested but only one "
+                          "device is available; running single-device")
             self.graph = FactorGraph(
-                self.engine, h * w, cfg, K=K if self.use_calib else None
+                self.engine, h * w, cfg, K=K if self.use_calib else None,
+                mesh=mesh, shard_mode=shard_mode or "edge",
             )
         self.retrieval = retrieval or NullRetrieval()
 

@@ -104,3 +104,37 @@ def test_mapshard_matches_single_device():
         np.asarray(T_shard)[:P], np.asarray(T_single), atol=2e-4
     )
     assert pose_err(T_shard[:P], T_true) < 1e-3
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+@pytest.mark.parametrize("mode", ["edge", "map"])
+def test_sharded_ba_in_pipeline(mode):
+    """local_opt.sharded_ba wires the distributed solver into the full
+    SLAMSystem (FactorGraph mesh path): same trajectory as the
+    single-device run on the oracle clip."""
+    from mast3r_slam_tpu.pipeline import SLAMSystem
+    from mast3r_slam_tpu.testing import OracleEngine, SyntheticSequence
+    from mast3r_slam_tpu.utils.config import load_config
+
+    seq = SyntheticSequence(n_frames=12, h=48, w=64, seed=3, traj_scale=0.5)
+
+    def run(shard):
+        cfg = load_config("config/eval_no_calib.yaml")
+        cfg["dataset"]["img_size"] = 64
+        cfg["local_opt"]["sharded_ba"] = shard
+        system = SLAMSystem(cfg, OracleEngine(seq), (seq.h, seq.w),
+                            buffer=32)
+        for i in range(len(seq)):
+            system.process_frame(i, seq.images[i])
+        system.terminate()
+        return system
+
+    ref = run(None)
+    sharded = run(mode)
+    assert sharded.graph.mesh is not None
+    assert sharded.stats == ref.stats
+    n = int(ref.arena.n_size)
+    np.testing.assert_allclose(
+        np.asarray(sharded.arena.T_WC[:n]), np.asarray(ref.arena.T_WC[:n]),
+        atol=2e-4,
+    )
