@@ -59,6 +59,11 @@ def parse_args():
                    help="INT8-quantized catMLP local-feature MLPs (the "
                         "dominant head weight-read block); cosine-accepted "
                         "vs fp in tests/test_quant.py")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree for the network: shard "
+                        "attn/MLP weights over a 'model' mesh axis of "
+                        "this size (Megatron split, one all-reduce per "
+                        "block; parallel/mesh.py shard_params_tp)")
     p.add_argument("--backend-device", type=int, default=None,
                    help="run the backend (keyframe decode+match + BA) on "
                         "this device index: the multi-chip form of the "
@@ -185,12 +190,24 @@ def main():
         K = seq.K if use_calib else None
     else:
         model, params = load_model_and_params(args, jax)
+        mesh = None
+        if args.tp > 1:
+            from mast3r_slam_tpu.parallel.mesh import make_mesh
+
+            n_dev = len(jax.devices())
+            if n_dev >= args.tp:
+                mesh = make_mesh(n_edge=n_dev // args.tp,
+                                 n_model=args.tp)
+            else:
+                print(f"--tp {args.tp} needs {args.tp} devices, have "
+                      f"{n_dev}; running unsharded")
         engine = InferenceEngine(
             model, params, (h, w),
             downsample=int(config["dataset"].get("img_downsample", 1)),
             match_cfg=MatchingConfig.from_dict(config["matching"]),
             int8_encoder=args.int8_encoder,
             int8_local_head=args.int8_local_head,
+            mesh=mesh,
         )
     retrieval = None
     if not args.oracle:

@@ -38,12 +38,20 @@ class InferenceEngine:
                  downsample: int = 1,
                  match_cfg: matching.MatchingConfig | None = None,
                  int8_encoder: bool = False,
-                 int8_local_head: bool = False):
+                 int8_local_head: bool = False,
+                 mesh=None):
         """int8_encoder enables the quantized encoder path (capability
         parity with the fork's TensorRT INT8 feature; models/quant.py);
         int8_local_head quantizes the catMLP local-feature MLPs (the
-        dominant head weight-read block) the same way."""
+        dominant head weight-read block) the same way.
+
+        ``mesh``: a jax.sharding.Mesh with a 'model' axis of size > 1
+        enables tensor-parallel inference — params get Megatron-style
+        column/row placements (parallel.mesh.shard_params_tp) and GSPMD
+        inserts one all-reduce per attn/MLP block, scaling the dominant
+        matmul latency across chips."""
         self.model = model
+        self.mesh = mesh
         if model.cfg.dtype == jnp.bfloat16 and \
                 os.environ.get("MAST3R_BF16_PARAMS", "1") != "0":
             # Bitwise-identical (those modules compute in bf16 anyway) but
@@ -53,6 +61,10 @@ class InferenceEngine:
 
             params = cast_trunk_params_bf16(
                 params, head_bf16=model.cfg.head_dtype == jnp.bfloat16)
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            from .parallel.mesh import shard_params_tp
+
+            params = shard_params_tp(params, mesh)
         self.params = params
         self.img_hw = img_hw
         self.downsample = downsample

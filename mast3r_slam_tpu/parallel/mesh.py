@@ -34,6 +34,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_params_tp(params, mesh: Mesh):
+    """Tensor-parallel placement of MASt3R params over the mesh's 'model'
+    axis: attention qkv / MLP fc1 weights column-sharded, proj / fc2
+    row-sharded, everything else replicated — the Megatron-style split
+    where each block needs only one all-reduce per attn/MLP (inserted by
+    GSPMD from these placements).  Used by InferenceEngine(mesh=...) and
+    the driver dryrun."""
+    import jax.tree_util as jtu
+
+    def place(path, x):
+        name = "/".join(str(p) for p in path)
+        if x.ndim == 2 and ("fc1" in name or "qkv" in name):
+            return jax.device_put(x, NamedSharding(mesh, P(None, "model")))
+        if x.ndim == 2 and ("fc2" in name or "/proj/" in name):
+            return jax.device_put(x, NamedSharding(mesh, P("model", None)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jtu.tree_map_with_path(place, params)
+
+
 def init_distributed(coordinator_address=None, num_processes=None,
                      process_id=None):
     """Initialize jax.distributed for a multi-host slice (the DCN tier of
