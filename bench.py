@@ -223,25 +223,105 @@ def main():
         points_subsample=int(_lo.get("points_subsample", 1)),
     )
 
-    def ba_step(params, carry):
-        Twc, Xs, Cs, idx2, vm2, Q2 = carry
-        Twc2, iters, delta, ok = ba_ops.gauss_newton(
-            Twc, Xs, Cs, ii2, jj2, idx2, vm2, Q2, ev, K, "ray", (w, h),
-            bacfg,
-        )
-        # thread the NEXT round's pregather inputs through this round's
-        # result: a real backend round pregathers once per solve, and with
-        # loop-invariant inputs XLA hoists that gather out of the timing
-        # chain entirely (measured: 7.5 ms/step "BA" that was only the GN
-        # iterations).  minimum(iters, 0) is 0 in value but not provably so.
-        eps = 1e-12 * Twc2[1, 0]
-        Xs = Xs + eps
-        idx2 = idx2 + jnp.minimum(iters, 0)
-        return (Twc2, Xs, Cs, idx2, vm2, Q2)
+    if os.environ.get("BENCH_BA_UNCACHED") == "1":
+        # cold-cache round: full pregather + solve (what a run pays when
+        # every edge is dirty, e.g. right after load_state)
+        def ba_step(params, carry):
+            Twc, Xs, Cs, idx2, vm2, Q2 = carry
+            Twc2, iters, delta, ok = ba_ops.gauss_newton(
+                Twc, Xs, Cs, ii2, jj2, idx2, vm2, Q2, ev, K, "ray", (w, h),
+                bacfg,
+            )
+            # thread the NEXT round's pregather inputs through this round's
+            # result: a real round pregathers once per solve, and with
+            # loop-invariant inputs XLA hoists that gather out of the
+            # timing chain entirely (measured: 7.5 ms/step "BA" that was
+            # only the GN iterations).  minimum(iters, 0) is 0 in value
+            # but not provably so.
+            eps = 1e-12 * Twc2[1, 0]
+            Xs = Xs + eps
+            idx2 = idx2 + jnp.minimum(iters, 0)
+            return (Twc2, Xs, Cs, idx2, vm2, Q2)
 
-    ba_ms = timed_chain(ba_step, (Twc0, Xs, Cs, idx2, vm2, Q2),
-                        "ba(16kf, 64 two-way edges, 10 iters)",
-                        lambda c: c[0][1, 0])
+        ba_ms = timed_chain(ba_step, (Twc0, Xs, Cs, idx2, vm2, Q2),
+                            "ba(16kf, 64 two-way edges, 10 iters, "
+                            "cold cache)",
+                            lambda c: c[0][1, 0])
+    else:
+        # Production operating point: the FactorGraph's incremental
+        # pregather cache (global_opt.py) — per keyframe round only the
+        # NEW edge + edges touching the mutated keyframe refresh (model:
+        # 4 edges, both directions), then the solve consumes the cache.
+        from mast3r_slam_tpu import global_opt as go
+
+        E_cap = E_
+        s_sub = max(int(bacfg.points_subsample), 1)
+        n_sub = -(-hw // s_sub)
+        Cchunk = min(bacfg.chunk_points, hw)
+        Np = n_sub + (-n_sub % Cchunk)
+        pre6 = (
+            jnp.zeros((E_cap, 3, Np)), jnp.zeros((E_cap, Np)),
+            jnp.zeros((E_cap, Np), jnp.int32),
+            jnp.zeros((E_cap, 3, Np)), jnp.zeros((E_cap, Np)),
+            jnp.zeros((E_cap, Np), jnp.int32),
+        )
+        Xar = Xs
+        Car = Cs[..., None]
+        Nar = jnp.ones((P_,), jnp.int32)
+        idx1 = idx2[:E_]
+        vm1 = vm2[:E_]
+        Q1 = Q2[:E_]
+        ii1, jj1 = ii2[:E_], jj2[:E_]
+        R_dirty = 4
+        slot4 = jnp.arange(R_dirty, dtype=jnp.int32)
+        uidx_r = jnp.arange(8, dtype=jnp.int32)
+        ii_l4, jj_l4 = ii1[:R_dirty], jj1[:R_dirty]
+
+        # big arrays ride the carry (pass-through): closing over them would
+        # inline them as constants into the remote compile (HTTP 413)
+        def refresh_step(params, carry):
+            pre6, Xar, Car, Nar, idx1, vm1, Q1 = carry
+            pre6 = go._refresh_pre_rows(
+                *pre6, Xar, Car, Nar, K, idx1, idx1, vm1, vm1, Q1, Q1,
+                slot4, uidx_r, ii_l4, jj_l4, R_dirty, (w, h), bacfg,
+                False,
+            )
+            Xar = Xar + 1e-12 * pre6[0][0, 0, 0]
+            return (pre6, Xar, Car, Nar, idx1, vm1, Q1)
+
+        refresh_ms = timed_chain(
+            refresh_step, (pre6, Xar, Car, Nar, idx1, vm1, Q1),
+            f"ba_refresh({R_dirty} dirty edges, 2 dirs)",
+            lambda c: c[0][0][0, 0, 0],
+        )
+
+        # warm the full cache for the solve stage
+        for lo_ in range(0, E_cap, R_dirty):
+            sl_ = jnp.arange(lo_, lo_ + R_dirty, dtype=jnp.int32)
+            pre6 = go._refresh_pre_rows(
+                *pre6, Xar, Car, Nar, K, idx1, idx1, vm1, vm1, Q1, Q1,
+                sl_, jnp.arange(16, dtype=jnp.int32),
+                ii1[lo_:lo_ + R_dirty], jj1[lo_:lo_ + R_dirty],
+                R_dirty, (w, h), bacfg, False,
+            )
+
+        uidx = jnp.arange(P_, dtype=jnp.int32)
+
+        def ba_step(params, carry):
+            Twc, Xar, pre6 = carry
+            Twc2, iters, delta, ok = go._prep_and_solve_cached(
+                Xar, Twc, *pre6, uidx, ii2, jj2, K,
+                E_, "ray", (w, h), bacfg, False,
+            )
+            Xar = Xar + 1e-12 * Twc2[1, 0]
+            return (Twc2, Xar, pre6)
+
+        solve_ms = timed_chain(
+            ba_step, (Twc0, Xar, pre6),
+            "ba_cached_solve(16kf, 64 two-way rows, 10 iters)",
+            lambda c: c[0][1, 0],
+        )
+        ba_ms = refresh_ms + solve_ms
 
     # host-side create_frame: PIL resize/crop + ImgNorm (frame.py:111-122
     # equivalent; device upload excluded — relay-tunnel latency is not an

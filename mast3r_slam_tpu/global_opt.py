@@ -127,6 +127,82 @@ def _prep_and_solve(X_arena, C_arena, N_arena, T_arena,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("E_bucket", "residual_type", "img_wh", "cfg",
+                     "use_calib"),
+)
+def _prep_and_solve_cached(X_arena, T_arena,
+                           pre_Xi_f, pre_sqw_f, pre_ind_f,
+                           pre_Xi_r, pre_sqw_r, pre_ind_r,
+                           uidx, ii2, jj2, K,
+                           E_bucket: int, residual_type: str, img_wh,
+                           cfg: ba.BAConfig, use_calib: bool):
+    """GN solve consuming the incremental pregather cache: the expensive
+    permuted-side gathers (pre_Xi/sqw/ind, forward and reverse directions)
+    come from the cache; only the cheap raster-side rows (contiguous
+    keyframe pointmaps) and the compact pose set are rebuilt per solve.
+    Unoccupied cache slots have zero sqw and contribute nothing."""
+    s = max(int(cfg.points_subsample), 1)
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, 0, E_bucket, axis=0)
+
+    Xi2 = jnp.concatenate([sl(pre_Xi_f), sl(pre_Xi_r)], axis=0)
+    sqw2 = jnp.concatenate([sl(pre_sqw_f), sl(pre_sqw_r)], axis=0)
+    ind2 = jnp.concatenate([sl(pre_ind_f), sl(pre_ind_r)], axis=0)
+
+    Xs = X_arena[uidx]
+    Twc = T_arena[uidx]
+    if use_calib:
+        w, h = img_wh
+        Xs = constrain_points_to_ray((h, w), Xs, K)
+    Xj2 = jnp.moveaxis(Xs[jj2][:, ::s], -1, 1)        # (2E, 3, N_sub)
+    pad = Xi2.shape[-1] - Xj2.shape[-1]
+    if pad:
+        Xj2 = jnp.pad(Xj2, ((0, 0), (0, 0), (0, pad)))
+    pre = ba.EdgeData(Xi2, Xj2, sqw2, ind2)
+    return ba.gauss_newton_from_pre(Twc, pre, ii2, jj2, K, residual_type,
+                                    img_wh, cfg)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("R_bucket", "img_wh", "cfg", "use_calib"),
+    donate_argnums=(0, 1, 2, 3, 4, 5),
+)
+def _refresh_pre_rows(pre_Xi_f, pre_sqw_f, pre_ind_f,
+                      pre_Xi_r, pre_sqw_r, pre_ind_r,
+                      X_arena, C_arena, N_arena, K,
+                      idx_ii2jj, idx_jj2ii, vmj, vmi, Qj_arr, Qi_arr,
+                      slot_arr, uidx_r, ii_l, jj_l,
+                      R_bucket: int, img_wh, cfg: ba.BAConfig,
+                      use_calib: bool):
+    """Recompute the cached pregather rows for the edge slots in
+    ``slot_arr`` (padded rows carry slot >= capacity and are dropped by the
+    scatter).  ``uidx_r``/``ii_l``/``jj_l``: compact keyframe set of the
+    refresh batch."""
+    Xs = X_arena[uidx_r]
+    Cs = C_arena[uidx_r, :, 0] / jnp.maximum(N_arena[uidx_r], 1)[:, None]
+    if use_calib:
+        w, h = img_wh
+        Xs = constrain_points_to_ray((h, w), Xs, K)
+    ev = jnp.ones((R_bucket,), bool)
+    C = min(cfg.chunk_points, idx_ii2jj.shape[1])
+    rows = lambda a: a[slot_arr]
+    pre_f = ba._pregather_edges(Xs, Cs, ii_l, jj_l, rows(idx_ii2jj),
+                                rows(vmj), rows(Qj_arr), ev, cfg, C)
+    pre_r = ba._pregather_edges(Xs, Cs, jj_l, ii_l, rows(idx_jj2ii),
+                                rows(vmi), rows(Qi_arr), ev, cfg, C)
+    up = lambda store, new: store.at[slot_arr].set(new, mode="drop")
+    return (
+        up(pre_Xi_f, pre_f.Xi), up(pre_sqw_f, pre_f.sqw),
+        up(pre_ind_f, pre_f.ind),
+        up(pre_Xi_r, pre_r.Xi), up(pre_sqw_r, pre_r.sqw),
+        up(pre_ind_r, pre_r.ind),
+    )
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("mesh", "shard_mode", "E_bucket", "residual_type",
                      "img_wh", "cfg", "use_calib"),
 )
@@ -205,6 +281,7 @@ class FactorGraph:
         self.n_edges = 0
         put = (lambda a: jax.device_put(a, device)) if device is not None \
             else (lambda a: a)
+        self._put = put
         self.idx_ii2jj = put(jnp.zeros((E, hw), jnp.int32))
         self.idx_jj2ii = put(jnp.zeros((E, hw), jnp.int32))
         self.valid_match_j = put(jnp.zeros((E, hw), bool))
@@ -212,7 +289,38 @@ class FactorGraph:
         self.Q_ii2jj = put(jnp.zeros((E, hw), jnp.float32))
         self.Q_jj2ii = put(jnp.zeros((E, hw), jnp.float32))
 
+        # Incremental pregather cache (local_opt.cache_pregather, default
+        # on): keyframe pointmaps are immutable once a newer keyframe
+        # exists, so the permuted-side gathers — the dominant cost of a
+        # backend round on TPU (row-count-bound gather engine) — are kept
+        # per edge slot across rounds and refreshed only for edges whose
+        # endpoint keyframe changed (tracked via arena.N_updates) or that
+        # are new.  Disabled under mesh sharding (those solvers pregather
+        # inside the shard_map).
+        self.cache_pre = (
+            bool(self.local_cfg.get("cache_pregather", True))
+            and mesh is None
+        )
+        if self.cache_pre:
+            s = max(int(self.cfg.points_subsample), 1)
+            n_sub = -(-hw // s)
+            C = min(self.cfg.chunk_points, hw)
+            self._Np = n_sub + (-n_sub % C)
+            self._alloc_pre(E)
+            self._pre_fresh = np.zeros((E,), bool)
+            self._nupd_seen: dict = {}
+
     # -- edge construction --------------------------------------------------
+
+    def _alloc_pre(self, E: int):
+        Np = self._Np
+        put = self._put
+        self.pre_Xi_f = put(jnp.zeros((E, 3, Np), jnp.float32))
+        self.pre_sqw_f = put(jnp.zeros((E, Np), jnp.float32))
+        self.pre_ind_f = put(jnp.zeros((E, Np), jnp.int32))
+        self.pre_Xi_r = put(jnp.zeros((E, 3, Np), jnp.float32))
+        self.pre_sqw_r = put(jnp.zeros((E, Np), jnp.float32))
+        self.pre_ind_r = put(jnp.zeros((E, Np), jnp.int32))
 
     def _grow(self, needed: int):
         """Grow the edge store to the next power-of-two bucket >= needed.
@@ -236,6 +344,16 @@ class FactorGraph:
         self.valid_match_i = grow(self.valid_match_i)
         self.Q_ii2jj = grow(self.Q_ii2jj)
         self.Q_jj2ii = grow(self.Q_jj2ii)
+        if self.cache_pre:
+            self.pre_Xi_f = grow(self.pre_Xi_f)
+            self.pre_sqw_f = grow(self.pre_sqw_f)
+            self.pre_ind_f = grow(self.pre_ind_f)
+            self.pre_Xi_r = grow(self.pre_Xi_r)
+            self.pre_sqw_r = grow(self.pre_sqw_r)
+            self.pre_ind_r = grow(self.pre_ind_r)
+            self._pre_fresh = np.concatenate(
+                [self._pre_fresh, np.zeros((pad,), bool)]
+            )
         self.max_edges = E2
 
     def add_factors(self, arena: KeyframeArena, ii, jj, min_match_frac,
@@ -298,6 +416,66 @@ class FactorGraph:
         self.n_edges += n_new
         return True
 
+    # -- incremental pregather cache ----------------------------------------
+
+    def _sync_cache(self, arena: KeyframeArena, unique: np.ndarray):
+        """Refresh cached pregather rows for edges that are new or whose
+        endpoint keyframe's pointmap changed since the last solve
+        (versioned by arena.N_updates — update_pointmap bumps it on every
+        fusion; poses don't touch it)."""
+        nupd = np.asarray(arena.N_updates)
+        changed = {
+            int(k) for k in unique
+            if self._nupd_seen.get(int(k)) != int(nupd[int(k)])
+        }
+        n = self.n_edges
+        dirty = [
+            e for e in range(n)
+            if not self._pre_fresh[e]
+            or int(self.ii[e]) in changed or int(self.jj[e]) in changed
+        ]
+        if dirty:
+            self._refresh_pre(arena, dirty)
+            self._pre_fresh[dirty] = True
+        for k in unique:
+            self._nupd_seen[int(k)] = int(nupd[int(k)])
+
+    def _refresh_pre(self, arena: KeyframeArena, slots):
+        R = _next_bucket(len(slots), 4)
+        slot_pad = np.full((R,), self.max_edges, np.int64)
+        slot_pad[: len(slots)] = slots
+        kfs = np.unique(np.concatenate([self.ii[slots], self.jj[slots]]))
+        remap = {int(k): c for c, k in enumerate(kfs)}
+        P_r = _next_bucket(len(kfs), 1)
+        uidx_r = np.zeros((P_r,), np.int32)
+        uidx_r[: len(kfs)] = kfs
+        ii_l = np.zeros((R,), np.int32)
+        jj_l = np.zeros((R,), np.int32)
+        for a, e in enumerate(slots):
+            ii_l[a] = remap[int(self.ii[e])]
+            jj_l[a] = remap[int(self.jj[e])]
+        h, w = arena.img_hw
+        K = jnp.asarray(self.K) if self.K is not None else jnp.eye(3)
+        (self.pre_Xi_f, self.pre_sqw_f, self.pre_ind_f,
+         self.pre_Xi_r, self.pre_sqw_r, self.pre_ind_r) = _refresh_pre_rows(
+            self.pre_Xi_f, self.pre_sqw_f, self.pre_ind_f,
+            self.pre_Xi_r, self.pre_sqw_r, self.pre_ind_r,
+            arena.X, arena.C, arena.N, K,
+            self.idx_ii2jj, self.idx_jj2ii,
+            self.valid_match_j, self.valid_match_i,
+            self.Q_ii2jj, self.Q_jj2ii,
+            jnp.asarray(slot_pad), jnp.asarray(uidx_r),
+            jnp.asarray(ii_l), jnp.asarray(jj_l),
+            R, (w, h), self.cfg, self.use_calib,
+        )
+
+    def invalidate_cache(self):
+        """Drop all cached pregather rows (e.g. after load_state restores
+        edge arrays the cache has never seen)."""
+        if self.cache_pre:
+            self._pre_fresh[:] = False
+            self._nupd_seen.clear()
+
     # -- solves -------------------------------------------------------------
 
     def get_unique_kf_idx(self) -> np.ndarray:
@@ -359,6 +537,16 @@ class FactorGraph:
             Twc_new, iters, delta, ok = _prep_and_solve_sharded(
                 *common, self.mesh, self.shard_mode, E_bucket,
                 residual_type, (w, h), self.cfg, residual_type == "calib",
+            )
+        elif self.cache_pre:
+            self._sync_cache(arena, unique)
+            Twc_new, iters, delta, ok = _prep_and_solve_cached(
+                arena.X, arena.T_WC,
+                self.pre_Xi_f, self.pre_sqw_f, self.pre_ind_f,
+                self.pre_Xi_r, self.pre_sqw_r, self.pre_ind_r,
+                jnp.asarray(unique_pad), jnp.asarray(ii2),
+                jnp.asarray(jj2), K,
+                E_bucket, residual_type, (w, h), self.cfg, self.use_calib,
             )
         else:
             Twc_new, iters, delta, ok = _prep_and_solve(

@@ -537,7 +537,6 @@ def gauss_newton(Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
     edge_valid: (E,) padding mask.  Returns (Twc', iters, delta_norm, ok).
     """
     residual, R = _RESIDUALS[residual_type]
-    P = Twc.shape[0]
     Cs2 = Cs[..., 0] if Cs.ndim == 3 else Cs
     vm2 = valid_match[..., 0] if valid_match.ndim == 3 else valid_match
     Q2 = Q[..., 0] if Q.ndim == 3 else Q
@@ -547,6 +546,19 @@ def gauss_newton(Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
     C = min(cfg.chunk_points, idx_ii2jj.shape[1])
     pre = _pregather_edges(Xs, Cs2, ii, jj, idx_ii2jj, vm2, Q2,
                            edge_valid, cfg, C)
+    return gauss_newton_from_pre(Twc, pre, ii, jj, K, residual_type,
+                                 img_wh, cfg)
+
+
+def gauss_newton_from_pre(Twc, pre: EdgeData, ii, jj, K,
+                          residual_type: str, img_wh, cfg: BAConfig):
+    """The GN pose-graph loop on prebuilt :class:`EdgeData` — the entry
+    point for the FactorGraph's incremental pregather cache (keyframe
+    pointmaps are immutable once a newer keyframe exists, so the expensive
+    permutation gather is cached across backend rounds and only refreshed
+    for edges whose endpoint changed; global_opt.py)."""
+    residual, R = _RESIDUALS[residual_type]
+    P = Twc.shape[0]
 
     def body(state):
         Twc, it, delta, ok, done = state

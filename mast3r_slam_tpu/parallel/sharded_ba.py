@@ -144,6 +144,14 @@ def sharded_gauss_newton_mapshard(mesh: Mesh, Twc, Xs, Cs, ii, jj,
     Cs2 = Cs[..., 0] if Cs.ndim == 3 else Cs
     vm2 = valid_match[..., 0] if valid_match.ndim == 3 else valid_match
     Q2 = Q[..., 0] if Q.ndim == 3 else Q
+    # points_subsample (cfg): same stride-s residual subset as
+    # ba._pregather_edges — slice the per-point edge arrays up front (the
+    # index VALUES stay full-res; the raster side is sliced in-kernel)
+    s_sub = max(int(cfg.points_subsample), 1)
+    if s_sub > 1:
+        idx_ii2jj = idx_ii2jj[:, ::s_sub]
+        vm2 = vm2[:, ::s_sub]
+        Q2 = Q2[:, ::s_sub]
 
     kfspec = P("edge")   # keyframe axis sharded over the same mesh axis
     rspec = P()
@@ -171,11 +179,12 @@ def sharded_gauss_newton_mapshard(mesh: Mesh, Twc, Xs, Cs, ii, jj,
             axis=-1,
         )
         gi = jnp.where(own_i[:, None, None],
-                       src[li[:, None] * Nx + ind], 0.0)      # (E, N, 4)
+                       src[li[:, None] * Nx + ind], 0.0)      # (E, Ns, 4)
         gj = jnp.where(own_j[:, None, None],
                        jnp.concatenate(
-                           [Xs_loc[lj], Cs_loc[lj][..., None]], axis=-1),
-                       0.0)                                   # (E, N, 4)
+                           [Xs_loc[lj][:, ::s_sub],
+                            Cs_loc[lj][:, ::s_sub][..., None]], axis=-1),
+                       0.0)                                   # (E, Ns, 4)
 
         # -- stage 2: one reduce-scatter per side -> local edge shard ----
         gi = jax.lax.psum_scatter(gi, "edge", scatter_dimension=0,
@@ -197,8 +206,9 @@ def sharded_gauss_newton_mapshard(mesh: Mesh, Twc, Xs, Cs, ii, jj,
             & (cj > cfg.C_conf) & ev_l[:, None]
         )
         sqw = jnp.where(static_valid, jnp.sqrt(jnp.maximum(Q_l, 0.0)), 0.0)
+        Ns = Xi.shape[-1]
         C = min(cfg.chunk_points, Nx)
-        pad = (-Nx) % C
+        pad = (-Ns) % C
         if pad:
             pz = lambda A: jnp.pad(
                 A, ((0, 0),) * (A.ndim - 1) + ((0, pad),))

@@ -586,6 +586,12 @@ class SLAMSystem:
         g.valid_match_i = jnp.asarray(d["graph_vmi"])
         g.Q_ii2jj = jnp.asarray(d["graph_Qj"])
         g.Q_jj2ii = jnp.asarray(d["graph_Qi"])
+        if getattr(g, "cache_pre", False):
+            if g._pre_fresh.shape[0] != g.max_edges:  # edge store grew
+                g._Np = g.pre_Xi_f.shape[-1]
+                g._alloc_pre(g.max_edges)
+                g._pre_fresh = np.zeros((g.max_edges,), bool)
+            g.invalidate_cache()
         for k, v in zip(sorted(self.stats), d["stats"]):
             self.stats[k] = int(v)
         if self._bdev is not None:  # mirror is stale: full resync next round

@@ -193,3 +193,52 @@ def test_long_run_loop_closure_growth():
     arena2, stats = graph.solve_GN_rays(arena)
     assert stats is not None
     assert bool(jnp.all(jnp.isfinite(arena2.T_WC)))
+
+
+def test_pregather_cache_matches_uncached():
+    """Incremental pregather cache (local_opt.cache_pregather): solves
+    must equal the uncached path, including after a keyframe's pointmap
+    mutates between rounds (version-triggered refresh) and after new
+    edges appear."""
+    from mast3r_slam_tpu.frame import arena_get, update_pointmap
+    from mast3r_slam_tpu.frame import FilteringMode
+
+    def build(cache):
+        cfg = load_config("config/base.yaml")
+        cfg["local_opt"]["max_edges"] = 16
+        cfg["local_opt"]["cache_pregather"] = cache
+        g = FactorGraph(OracleEngine(HW), HW, cfg)
+        return g
+
+    arena, T_true = oracle_setup()
+    noisy = jnp.asarray(
+        np.random.default_rng(1).standard_normal((P, 7)).astype(np.float32)
+        * 0.03
+    ).at[0].set(0.0)
+    arena = arena.replace(T_WC=sim3.mul(sim3.exp(noisy), T_true))
+
+    ga, gb = build(True), build(False)
+    assert ga.cache_pre and not gb.cache_pre
+    for g in (ga, gb):
+        g.add_factors(arena, [0, 1], [1, 2], 0.0)
+
+    ra = ga.solve_poses(arena, "ray")
+    rb = gb.solve_poses(arena, "ray")
+    np.testing.assert_allclose(np.asarray(ra[1]), np.asarray(rb[1]),
+                               atol=1e-5)
+
+    # mutate keyframe 2's pointmap (bumps N_updates) + add an edge; the
+    # cache must refresh the touched edge and pick up the new one
+    f2 = arena_get(arena, 2)
+    f2 = update_pointmap(f2, f2.X_canon + 0.01, f2.C,
+                         FilteringMode.RECENT, True)
+    arena = arena_set(arena, 2, f2)
+    for g in (ga, gb):
+        g.add_factors(arena, [2], [3], 0.0)
+
+    ra2 = ga.solve_poses(arena, "ray")
+    rb2 = gb.solve_poses(arena, "ray")
+    np.testing.assert_allclose(np.asarray(ra2[1]), np.asarray(rb2[1]),
+                               atol=1e-5)
+    # and the refresh was selective: edge 0-1 untouched by the mutation
+    assert ga._pre_fresh[: ga.n_edges].all()
