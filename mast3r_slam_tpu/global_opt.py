@@ -357,11 +357,35 @@ class FactorGraph:
         self.max_edges = E2
 
     def add_factors(self, arena: KeyframeArena, ii, jj, min_match_frac,
-                    is_reloc: bool = False) -> bool:
+                    is_reloc: bool = False, reuse=None) -> bool:
         """Symmetric decode+match + two-directional gating
-        (global_opt.py:32-101).  Returns True if any edge was added."""
+        (global_opt.py:32-101).  Returns True if any edge was added.
+
+        ``reuse``: optional dict {pair: (i, j), idx_j2i, valid_i, Qjj,
+        Qij} — the tracker's frame->keyframe direction for the consecutive
+        edge (i, j).  That edge is then completed with ONE asymmetric
+        decode+match (the i->j direction) instead of the full symmetric
+        2E-batch, halving the decode and matcher work of a keyframe round
+        (the reference recomputes both directions, mast3r_utils.py:149-187;
+        consecutive edges are accepted unconditionally by the gating at
+        global_opt.py:73-76, so reusing the tracker's converged warm-start
+        matches is behavior-preserving up to matcher warm-start identity)."""
         if len(ii) == 0:
             return False
+        if reuse is not None and not is_reloc:
+            pi, pj = reuse["pair"]
+            rest = [(a, b) for a, b in zip(ii, jj)
+                    if (int(a), int(b)) != (pi, pj)]
+            if len(rest) < len(ii):  # the pair is among the candidates
+                added = self._add_consecutive_reused(arena, pi, pj, reuse)
+                if rest:
+                    ra = self.add_factors(
+                        arena, [a for a, _ in rest], [b for _, b in rest],
+                        min_match_frac, is_reloc,
+                    )
+                    added = added or ra
+                return added
+            # stale bundle for a different pair: fall through to full path
         ii = list(map(int, ii))
         jj = list(map(int, jj))
         B = len(ii)
@@ -414,6 +438,40 @@ class FactorGraph:
         self.ii[self.n_edges:self.n_edges + n_new] = ii_np[accept]
         self.jj[self.n_edges:self.n_edges + n_new] = jj_np[accept]
         self.n_edges += n_new
+        return True
+
+    def _add_consecutive_reused(self, arena: KeyframeArena, i: int, j: int,
+                                reuse) -> bool:
+        """Write the consecutive edge (i, j) from one fresh asymmetric
+        i-direction match + the tracker's reused j-direction."""
+        kw = {} if self.params is None else {"params": self.params}
+        (idx_i2j, vm_j, _Xff, _Cff, Qii, _Xkf, _Ckf, Qji) = \
+            self.engine.match_asymmetric(
+                arena.feat[i][None], arena.pos[i][None],
+                arena.feat[j][None], arena.pos[j][None], **kw,
+            )
+        idx_j2i = reuse["idx_j2i"]
+        vm_i = reuse["valid_i"]
+        Qjj = reuse["Qjj"]
+        Qij = reuse["Qij"]
+        Qj, Qi, _mfj, _mfi = _gate_edges(
+            idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij,
+            self.cfg.Q_conf,
+        )
+        # consecutive edges are never rejected (global_opt.py:73-76)
+        if self.n_edges + 1 > self.max_edges:
+            self._grow(self.n_edges + 1)
+        slots = jnp.asarray([self.n_edges], jnp.int64)
+        (self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
+         self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii) = _write_edges(
+            self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
+            self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii,
+            slots, idx_i2j, idx_j2i,
+            vm_j[..., 0], vm_i[..., 0], Qj, Qi,
+        )
+        self.ii[self.n_edges] = i
+        self.jj[self.n_edges] = j
+        self.n_edges += 1
         return True
 
     # -- incremental pregather cache ----------------------------------------

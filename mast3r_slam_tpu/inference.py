@@ -171,13 +171,14 @@ class InferenceEngine:
         return X.reshape(b, -1, 3), C.reshape(b, -1, 1)
 
     def match_asymmetric(self, frame_feat, frame_pos, kf_feat, kf_pos,
-                         idx_i2j_init=None):
+                         idx_i2j_init=None, params=None):
         """Asymmetric inference + dense match (mast3r_utils.py:220-242).
 
         Inputs are (1, N, C) cached encoder features.  Returns
         (idx_f2k (1, hw), valid_match (1, hw, 1), Xff, Cff, Qff, Xkf, Ckf,
         Qkf) with pointmaps flattened (1, hw, ...).  idx init None means
-        identity (arange), matching the reference reset semantics."""
+        identity (arange), matching the reference reset semantics.
+        ``params`` overrides the engine params (backend-chip use)."""
         if idx_i2j_init is None:
             ds = self.downsample
             hw = (self.img_hw[0] // ds) * (self.img_hw[1] // ds)
@@ -186,7 +187,8 @@ class InferenceEngine:
                 (frame_feat.shape[0], hw),
             )
         return self._match_asym(
-            self.params, frame_feat, frame_pos, kf_feat, kf_pos,
+            params if params is not None else self.params,
+            frame_feat, frame_pos, kf_feat, kf_pos,
             idx_i2j_init,
         )
 

@@ -150,6 +150,13 @@ class SLAMSystem:
 
         self.mode = Mode.INIT
         self.single_thread = bool(cfg.get("single_thread", False))
+        # reuse the tracker's frame->keyframe match as one direction of
+        # the consecutive factor-graph edge (halves keyframe-round decode
+        # + matcher work; global_opt.add_factors reuse path)
+        self._reuse_matches = bool(
+            cfg["local_opt"].get("reuse_track_matches", True)
+        )
+        self._edge_reuse = None
         self.filtering_mode = FilteringMode.from_str(
             cfg["tracking"]["filtering_mode"]
         )
@@ -327,7 +334,8 @@ class SLAMSystem:
             with self._lock:
                 kf = arena_get(self.arena, self.arena.n_size - 1)
             with profiler.timer("track"):
-                new_kf, frame, kf, try_reloc = self.tracker.track(frame, kf)
+                new_kf, frame, kf, try_reloc, reuse = \
+                    self.tracker.track(frame, kf)
             if try_reloc:
                 self.mode = Mode.RELOC
                 self.stats["skipped"] += 1
@@ -340,7 +348,23 @@ class SLAMSystem:
                 self._arena_append(frame)
                 self.stats["keyframes"] += 1
                 info["new_kf"] = True
-                self._queue_backend(int(self.arena.n_size) - 1)
+                n = int(self.arena.n_size)
+                if self._reuse_matches and reuse is not None and n >= 2:
+                    idx_f2k, vm, Qff, Qkf = reuse
+                    if self._bdev is not None:
+                        idx_f2k, vm, Qff, Qkf = jax.device_put(
+                            (idx_f2k, vm, Qff, Qkf), self._bdev)
+                    with self._lock:
+                        # tracker direction == the j->i direction of edge
+                        # (i=n-2, j=n-1): Qff is the new keyframe's self
+                        # conf (Qjj), Qkf the old keyframe's cross conf
+                        # (Qij) — see global_opt.add_factors(reuse=...)
+                        self._edge_reuse = {
+                            "pair": (n - 2, n - 1),
+                            "idx_j2i": idx_f2k, "valid_i": vm,
+                            "Qjj": Qff, "Qij": Qkf,
+                        }
+                self._queue_backend(n - 1)
             return info
 
         if self.mode == Mode.RELOC:
@@ -427,10 +451,18 @@ class SLAMSystem:
             kf_idx = list(set(kf_idx) - {idx})
             if kf_idx:
                 frame_idx = [idx] * len(kf_idx)
+                with self._lock:
+                    reuse = getattr(self, "_edge_reuse", None)
+                    if reuse is not None and \
+                            reuse["pair"] == (idx - 1, idx):
+                        self._edge_reuse = None
+                    else:
+                        reuse = None  # stale bundle for another pair
                 with profiler.timer("add_factors"):
                     self.graph.add_factors(
                         snap, kf_idx, frame_idx,
                         float(self.cfg["local_opt"]["min_match_frac"]),
+                        reuse=reuse,
                     )
             self._solve_graph(snap)
         finally:

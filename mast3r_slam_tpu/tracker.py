@@ -423,6 +423,15 @@ class TrackResult(NamedTuple):
     match_frac: jnp.ndarray     # ()
     new_kf_metric: jnp.ndarray  # () min(match_frac_k, unique_frac_f)
     ok: jnp.ndarray             # () solver healthy
+    # The frame->keyframe direction the tracker already computed IS one of
+    # the two directions of the consecutive factor-graph edge that
+    # add_factors would otherwise recompute from scratch (a full symmetric
+    # decode+match) when this frame becomes a keyframe — global_opt.py
+    # reuses (idx_f2k, valid_match, Qff, Qkf) for that direction
+    # (local_opt.reuse_track_matches).
+    valid_match: jnp.ndarray    # (1, hw, 1) bool
+    Qff: jnp.ndarray            # (1, hw, 1) frame self desc-conf
+    Qkf: jnp.ndarray            # (1, hw, 1) keyframe cross desc-conf
 
 
 def track_step(engine_match_asym, frame: Frame, keyframe: Frame, idx_init,
@@ -544,6 +553,9 @@ def track_step(engine_match_asym, frame: Frame, keyframe: Frame, idx_init,
         match_frac=match_frac,
         new_kf_metric=new_kf_metric,
         ok=ok,
+        valid_match=valid_match_k_b,
+        Qff=Qff[None],
+        Qkf=Qkf[None],
     )
 
 
@@ -589,7 +601,11 @@ class FrameTracker:
         self.idx_f2k = None
 
     def track(self, frame: Frame, keyframe: Frame):
-        """Returns (new_kf: bool, frame, keyframe, try_reloc: bool)."""
+        """Returns (new_kf: bool, frame, keyframe, try_reloc: bool,
+        reuse): ``reuse`` = (idx_f2k, valid_match, Qff, Qkf) — the
+        frame->keyframe match direction, which add_factors reuses as one
+        direction of the consecutive edge when this frame becomes a
+        keyframe (global_opt.py reuse_track_matches)."""
         hw = frame.hw
         idx_init = self.idx_f2k
         if idx_init is None:
@@ -603,10 +619,11 @@ class FrameTracker:
         ok = bool(res.ok)
         if match_frac < self.cfg.min_match_frac or not ok:
             self.idx_f2k = res.idx_f2k  # keep warm start
-            return False, frame, keyframe, True
+            return False, frame, keyframe, True, None
 
         self.idx_f2k = res.idx_f2k
         new_kf = float(res.new_kf_metric) < self.cfg.match_frac_thresh
         if new_kf:
             self.reset_idx_f2k()
-        return new_kf, res.frame, res.keyframe, False
+        reuse = (res.idx_f2k, res.valid_match, res.Qff, res.Qkf)
+        return new_kf, res.frame, res.keyframe, False, reuse

@@ -147,3 +147,30 @@ def test_state_checkpoint_resume(tmp_path, seq):
     # final poses close to the uninterrupted run
     err = float(jnp.abs(sys_b.arena.T_WC[:n] - full.arena.T_WC[:n]).max())
     assert err < 1e-3, err
+
+
+def test_reuse_track_matches_equivalent(seq):
+    """local_opt.reuse_track_matches: completing the consecutive edge from
+    the tracker's direction + one asymmetric match must give the same
+    graph and trajectory as the full symmetric path (the oracle matcher is
+    warm-start independent, so results are identical)."""
+    import numpy as np
+
+    def run(flag):
+        cfg = load_config("config/eval_no_calib.yaml")
+        cfg["dataset"]["img_size"] = 64
+        cfg["local_opt"]["reuse_track_matches"] = flag
+        return run_system(seq, cfg)
+
+    on, off = run(True), run(False)
+    assert on.stats == off.stats
+    g_on, g_off = on.graph, off.graph
+    assert g_on.n_edges == g_off.n_edges
+    assert (g_on.ii[:g_on.n_edges] == g_off.ii[:g_off.n_edges]).all()
+    np.testing.assert_allclose(
+        np.asarray(g_on.Q_ii2jj[:g_on.n_edges]),
+        np.asarray(g_off.Q_ii2jj[:g_off.n_edges]), atol=1e-5)
+    n = int(on.arena.n_size)
+    np.testing.assert_allclose(
+        np.asarray(on.arena.T_WC[:n]), np.asarray(off.arena.T_WC[:n]),
+        atol=1e-5)
