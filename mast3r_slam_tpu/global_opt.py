@@ -461,7 +461,7 @@ class FactorGraph:
         # consecutive edges are never rejected (global_opt.py:73-76)
         if self.n_edges + 1 > self.max_edges:
             self._grow(self.n_edges + 1)
-        slots = jnp.asarray([self.n_edges], jnp.int64)
+        slots = jnp.asarray([self.n_edges], jnp.int32)
         (self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
          self.valid_match_i, self.Q_ii2jj, self.Q_jj2ii) = _write_edges(
             self.idx_ii2jj, self.idx_jj2ii, self.valid_match_j,
