@@ -241,8 +241,11 @@ def main():
                            (jnp.arange(E_) % (P_ - 1)) + 1]).astype(jnp.int32)
     jj2 = jnp.concatenate([(jnp.arange(E_) % (P_ - 1)) + 1,
                            jnp.arange(E_) % (P_ - 1)]).astype(jnp.int32)
-    idx2 = jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32)[None],
-                            (2 * E_, hw))
+    # RANDOM match indices: with identity (arange) indices XLA lowers the
+    # per-edge pregather to contiguous dynamic-slices (memcpy speed —
+    # measured 0.6 ms for a refresh that costs ~4.6 ms with real random
+    # matches at the ~85 M rows/s gather row bound)
+    idx2 = jax.random.randint(kb[1], (2 * E_, hw), 0, hw, jnp.int32)
     vm2 = jnp.ones((2 * E_, hw), bool)
     Q2 = jnp.full((2 * E_, hw), 4.0, jnp.float32)
     ev = jnp.ones((2 * E_,), bool)

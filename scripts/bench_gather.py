@@ -48,6 +48,10 @@ def main():
     idx = jax.random.randint(jax.random.PRNGKey(1), (1, n), 0, n)
 
     for dtype, width in [
+        # narrow rows (the BA pregather's 16 B rows measured ~7x the
+        # wide-row rate — map the curve down here)
+        (jnp.float32, 4), (jnp.float32, 8), (jnp.float32, 16),
+        (jnp.int8, 24), (jnp.int8, 72),
         (jnp.float32, 36), (jnp.float16, 36),
         (jnp.int8, 168), (jnp.int8, 336), (jnp.int8, 1176),
         (jnp.bfloat16, 168), (jnp.bfloat16, 336), (jnp.bfloat16, 588),
