@@ -234,18 +234,31 @@ def main():
     P_, E_ = 16, 32
     hw = h * w
     kb = jax.random.split(key, 6)
-    Xs = jax.random.normal(kb[0], (P_, hw, 3), jnp.float32)
-    Xs = Xs.at[..., 2].add(4.0)
+    import numpy as _np
+
+    # Geometrically CONSISTENT random-permutation matches: every keyframe
+    # holds the same base cloud under its own random pixel permutation, and
+    # idx maps pixel p of kf j to the position of the same 3D point in kf
+    # i (sigma_i^{-1} o sigma_j).  Two birds: (a) identity (arange) match
+    # indices let XLA lower the pregather to contiguous dynamic-slices
+    # (memcpy speed — 0.6 ms for a refresh whose true random-row cost is
+    # the ~85 M rows/s gather bound); (b) INCONSISTENT random indices make
+    # the GN system garbage so the solver fails and early-exits after ~1
+    # iteration (measured 4.1 ms for a 10-iteration solve).
+    rng_np = _np.random.default_rng(0)
+    base = rng_np.standard_normal((hw, 3)).astype(_np.float32)
+    base[:, 2] += 4.0
+    sig = _np.stack([rng_np.permutation(hw) for _ in range(P_)])
+    inv = _np.argsort(sig, axis=1)
+    Xs = jnp.asarray(base[sig])                      # (P_, hw, 3)
     Cs = jnp.ones((P_, hw), jnp.float32) * 10.0
-    ii2 = jnp.concatenate([jnp.arange(E_) % (P_ - 1),
-                           (jnp.arange(E_) % (P_ - 1)) + 1]).astype(jnp.int32)
-    jj2 = jnp.concatenate([(jnp.arange(E_) % (P_ - 1)) + 1,
-                           jnp.arange(E_) % (P_ - 1)]).astype(jnp.int32)
-    # RANDOM match indices: with identity (arange) indices XLA lowers the
-    # per-edge pregather to contiguous dynamic-slices (memcpy speed —
-    # measured 0.6 ms for a refresh that costs ~4.6 ms with real random
-    # matches at the ~85 M rows/s gather row bound)
-    idx2 = jax.random.randint(kb[1], (2 * E_, hw), 0, hw, jnp.int32)
+    ii2_np = _np.concatenate([_np.arange(E_) % (P_ - 1),
+                              (_np.arange(E_) % (P_ - 1)) + 1])
+    jj2_np = _np.concatenate([(_np.arange(E_) % (P_ - 1)) + 1,
+                              _np.arange(E_) % (P_ - 1)])
+    ii2 = jnp.asarray(ii2_np, jnp.int32)
+    jj2 = jnp.asarray(jj2_np, jnp.int32)
+    idx2 = jnp.asarray(inv[ii2_np[:, None], sig[jj2_np]], jnp.int32)
     vm2 = jnp.ones((2 * E_, hw), bool)
     Q2 = jnp.full((2 * E_, hw), 4.0, jnp.float32)
     ev = jnp.ones((2 * E_,), bool)
