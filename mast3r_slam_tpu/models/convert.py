@@ -120,6 +120,16 @@ def _dpt(sd, prefix):
         out[f"layer{i + 1}_rn"] = _conv(
             sd, f"{prefix}.scratch.layer{i + 1}_rn", bias=False
         )
+        # make_scratch registers the same conv modules a second time under
+        # a `scratch.layer_rn` ModuleList (dpt_block.py:70), so a
+        # state_dict() of the real architecture carries duplicate alias
+        # keys.  Consume them (and verify they really are aliases) so
+        # strict accounting passes on real checkpoints.
+        alias = f"{prefix}.scratch.layer_rn.{i}.weight"
+        if alias in sd:
+            a = _t(sd[alias])
+            if not np.array_equal(a, _t(sd[f"{prefix}.scratch.layer{i + 1}_rn.weight"])):
+                raise ValueError(f"{alias} is not an alias of layer{i + 1}_rn")
     for k in range(1, 5):
         rn = f"{prefix}.scratch.refinenet{k}"
         out[f"refinenet{k}"] = {
