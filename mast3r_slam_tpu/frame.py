@@ -214,6 +214,41 @@ def make_arena(buffer: int, h: int, w: int, n_patches: int,
     )
 
 
+def arena_grow(arena: KeyframeArena, new_buffer: int) -> KeyframeArena:
+    """Grow the keyframe store to ``new_buffer`` slots (zero-padded).
+
+    Overflow policy for the fixed-capacity arena: the reference's 512-slot
+    SharedKeyframes (frame.py:220-327) index-errors past capacity; a
+    functional scatter would silently clamp instead (the row drops while
+    n_size keeps counting), so the pipeline grows the arena by
+    power-of-two buckets before that can happen — one recompile of the
+    arena-shaped jits per size class, like the factor-graph edge store."""
+    if new_buffer < arena.buffer:
+        raise ValueError(f"arena_grow: {new_buffer} < {arena.buffer}")
+    pad = new_buffer - arena.buffer
+
+    def grow(a):
+        return jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+        )
+
+    return arena.replace(
+        frame_id=grow(arena.frame_id),
+        img=grow(arena.img),
+        uimg=grow(arena.uimg),
+        T_WC=jnp.concatenate(
+            [arena.T_WC,
+             jnp.broadcast_to(sim3.identity(), (pad, 8))], axis=0
+        ),
+        X=grow(arena.X),
+        C=grow(arena.C),
+        N=grow(arena.N),
+        N_updates=grow(arena.N_updates),
+        feat=grow(arena.feat),
+        pos=grow(arena.pos),
+    )
+
+
 def arena_set(arena: KeyframeArena, idx, frame: Frame) -> KeyframeArena:
     """Write a frame into slot idx (frame.py:271-289)."""
     idx = jnp.asarray(idx, jnp.int32)

@@ -309,6 +309,9 @@ class FactorGraph:
             self._alloc_pre(E)
             self._pre_fresh = np.zeros((E,), bool)
             self._nupd_seen: dict = {}
+            # residual mode the cached rows were built for (the constrain-
+            # points-to-ray prep differs between ray and calib solves)
+            self._pre_calib: bool | None = None
 
     # -- edge construction --------------------------------------------------
 
@@ -476,11 +479,16 @@ class FactorGraph:
 
     # -- incremental pregather cache ----------------------------------------
 
-    def _sync_cache(self, arena: KeyframeArena, unique: np.ndarray):
+    def _sync_cache(self, arena: KeyframeArena, unique: np.ndarray,
+                    calib: bool):
         """Refresh cached pregather rows for edges that are new or whose
         endpoint keyframe's pointmap changed since the last solve
         (versioned by arena.N_updates — update_pointmap bumps it on every
         fusion; poses don't touch it)."""
+        if calib != self._pre_calib:
+            # rows prepped for the other residual mode are invalid
+            self._pre_fresh[:] = False
+            self._pre_calib = calib
         nupd = np.asarray(arena.N_updates)
         changed = {
             int(k) for k in unique
@@ -493,12 +501,12 @@ class FactorGraph:
             or int(self.ii[e]) in changed or int(self.jj[e]) in changed
         ]
         if dirty:
-            self._refresh_pre(arena, dirty)
+            self._refresh_pre(arena, dirty, calib)
             self._pre_fresh[dirty] = True
         for k in unique:
             self._nupd_seen[int(k)] = int(nupd[int(k)])
 
-    def _refresh_pre(self, arena: KeyframeArena, slots):
+    def _refresh_pre(self, arena: KeyframeArena, slots, calib: bool):
         R = _next_bucket(len(slots), 4)
         slot_pad = np.full((R,), self.max_edges, np.int64)
         slot_pad[: len(slots)] = slots
@@ -524,15 +532,22 @@ class FactorGraph:
             self.Q_ii2jj, self.Q_jj2ii,
             jnp.asarray(slot_pad), jnp.asarray(uidx_r),
             jnp.asarray(ii_l), jnp.asarray(jj_l),
-            R, (w, h), self.cfg, self.use_calib,
+            R, (w, h), self.cfg, calib,
         )
 
     def invalidate_cache(self):
         """Drop all cached pregather rows (e.g. after load_state restores
-        edge arrays the cache has never seen)."""
+        edge arrays the cache has never seen).  Reallocates the pre arrays
+        to zeros: marking rows stale is not enough, because _sync_cache
+        only refreshes rows < n_edges — after restoring a checkpoint with
+        FEWER edges than the live graph, rows in [n_ckpt, n_old) would
+        otherwise keep stale nonzero pre_sqw that the cached solve (which
+        drops edge_valid) could consume."""
         if self.cache_pre:
+            self._alloc_pre(self.max_edges)
             self._pre_fresh[:] = False
             self._nupd_seen.clear()
+            self._pre_calib = None
 
     # -- solves -------------------------------------------------------------
 
@@ -597,14 +612,15 @@ class FactorGraph:
                 residual_type, (w, h), self.cfg, residual_type == "calib",
             )
         elif self.cache_pre:
-            self._sync_cache(arena, unique)
+            self._sync_cache(arena, unique, residual_type == "calib")
             Twc_new, iters, delta, ok = _prep_and_solve_cached(
                 arena.X, arena.T_WC,
                 self.pre_Xi_f, self.pre_sqw_f, self.pre_ind_f,
                 self.pre_Xi_r, self.pre_sqw_r, self.pre_ind_r,
                 jnp.asarray(unique_pad), jnp.asarray(ii2),
                 jnp.asarray(jj2), K,
-                E_bucket, residual_type, (w, h), self.cfg, self.use_calib,
+                E_bucket, residual_type, (w, h), self.cfg,
+                residual_type == "calib",
             )
         else:
             Twc_new, iters, delta, ok = _prep_and_solve(
@@ -612,9 +628,12 @@ class FactorGraph:
                 residual_type == "calib",
             )
         # non-pinned unique poses get scattered back by the caller;
-        # pinned/padded rows get an out-of-range target and are dropped
-        buffer = arena.T_WC.shape[0]
-        upd = np.full((P_pad,), buffer, np.int64)
+        # pinned/padded rows get an out-of-range target and are dropped.
+        # The dump index must be out of range for ANY arena, not just this
+        # snapshot's: the live arena may have grown (arena_grow) between
+        # snapshot and write-back, and a dump index equal to the old
+        # capacity would then hit a real row.
+        upd = np.full((P_pad,), 1 << 30, np.int64)
         upd[pin:P] = unique[pin:]
         return (jnp.asarray(upd), Twc_new,
                 (int(iters), float(delta), bool(ok)))

@@ -105,8 +105,17 @@ def main():
                 return engine._match_asymmetric_impl(params, f1, p1, f2, p2,
                                                      idx)
             res = trk.track_step(matcher, frame, keyframe, idx0, K, tcfg)
+            # consume EVERY pipeline-visible output (bench.py discipline:
+            # a pose-only readback lets XLA DCE the keyframe fusion
+            # write-back + uniqueness scatter, understating both variants)
+            consume = (
+                res.frame.T_WC[0] + res.new_kf_metric + res.match_frac
+                + res.ok.astype(jnp.float32)
+                + jnp.sum(res.keyframe.X_canon) + jnp.sum(res.keyframe.C)
+                + jnp.sum(res.frame.X_canon) + jnp.sum(res.frame.C)
+            )
             frame = frame.replace(
-                feat=frame.feat + 1e-12 * res.frame.T_WC[0],
+                feat=frame.feat + 1e-12 * consume,
                 N=jnp.zeros((), jnp.int32),
                 N_updates=jnp.zeros((), jnp.int32))
             return (frame, keyframe)

@@ -1,114 +1,181 @@
 #!/usr/bin/env python
-"""Window-pack table-build costs on TPU, measured with full consumption
-(every output element feeds a reduction that drives the next iteration's
-input, so nothing can be DCE'd or hoisted).
+"""A/B the matcher's probe-table build formulations on the real TPU.
 
-The matcher's refine stages pre-pack (2r+1)^2-probe windows into wide rows
-(ops/matching.py refine_matches).  With runtime inputs those packs cost
-real HBM traffic every frame (see STATUS.md gap #0); this probe measures
-each build strategy at production scale so the per-stage (u_pack, build)
-choice can be made from a measured cost model:
+The matcher packs, per refine stage, the whole (2r+1)^2 probe window into
+wide rows so window fetches are few row-count-bound gathers
+(ops/matching.py::refine_matches).  The BUILD of those tables is ~7 ms of
+runtime cost in-context (STATUS gap #0).  Variants:
 
-  sum_baseline   — reduce a prebuilt (hw, 600) int8 table (the consume cost
-                   to subtract from every other number)
-  vp5            — 5-roll v-pack of (hw, 24) int8 -> (hw, 120)
-  up5_from_vp    — 5-roll u-pack of the (hw, 120) vp -> (hw, 600)
-                   (current two-stage strategy for the r=2 stages)
-  direct25       — 25-roll single-stage build (hw, 24) -> (hw, 600)
-  vp7            — 7-roll v-pack (r=3 stages) -> (hw, 168)
-  up2_from_vp7   — 2-roll u-pack of vp7 -> (hw, 336) (current d=5 strategy)
+  v0   current: k_side rolls -> concat (v_pack), then P rolls -> concat
+  v1   one-shot: K = P*k_side rolls -> single concat (no intermediate)
+  v2   conv_general_dilated_patches on the 2D image
+  v3   pallas single-pass window kernel (ops/pack.py)
+
+Each is timed as a chained fori_loop with runtime-dependent inputs and a
+full-table readback (sum), relay-proof like bench.py.
+
+Usage: python scripts/bench_pack.py [stageA stageB stageC corners]
 """
 
-import os
 import pathlib
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import jax
-import jax.numpy as jnp
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed_chain(step, init_carry, readback, n, label):
-    def chained(k):
-        @jax.jit
-        def f(carry):
-            carry = jax.lax.fori_loop(0, k, lambda i, c: step(c), carry)
-            return readback(carry)
-        return f
-    f1, fN = chained(1), chained(n)
-    t0 = time.time()
-    float(f1(init_carry))
-    log(f"  {label}: compiled in {time.time()-t0:.0f}s")
-    float(fN(init_carry))
-    t0 = time.time(); float(f1(init_carry)); t1 = time.time() - t0
-    t0 = time.time(); float(fN(init_carry)); tN = time.time() - t0
-    ms = (tN - t1) / (n - 1) * 1e3
-    print(f"{label} {ms:.2f} ms", flush=True)
-    return ms
-
-
 def main():
-    cache = pathlib.Path(".jax_cache"); cache.mkdir(exist_ok=True)
+    import jax
+    import jax.numpy as jnp
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+        sys.argv.remove("--cpu")
+
+    cache_dir = pathlib.Path(".jax_cache")
+    cache_dir.mkdir(exist_ok=True)
     try:
-        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     except Exception:
         pass
-    h, w, f = 384, 512, 24
+
+    from mast3r_slam_tpu.ops import pack
+
+    h, w, F = 384, 512, 24
     hw = h * w
-    N = int(os.environ.get("CHAIN", "8"))
-    log(f"devices={jax.devices()} res={h}x{w} f={f} chain={N}")
+    N = 12
+
+    stages = {
+        # name: (k_side, d, rd, P)
+        "stageA": (7, 4, 12, 2),
+        "stageB": (5, 2, 4, 5),
+        "stageC": (3, 1, 1, 3),
+    }
+    pick = [a for a in sys.argv[1:] if not a.startswith("-")] or \
+        list(stages) + ["corners"]
+
+    log(f"devices={jax.devices()} res={h}x{w} chain={N}")
+
     key = jax.random.PRNGKey(0)
-    base = (jax.random.normal(key, (1, hw, f)) * 50).astype(jnp.int8)
-    pre600 = (jax.random.normal(key, (1, hw, 600)) * 50).astype(jnp.int8)
+    base_i8 = jax.random.randint(key, (1, hw, F), -127, 127, jnp.int8)
 
-    # every variant: perturb the input with the carry (prevents hoisting),
-    # reduce EVERY output element into the next carry (prevents DCE/slicing)
-    def consume(out, c):
-        s = jnp.sum(out.astype(jnp.int32))
-        return (c[0] + s % 3 + 1, c[1])
+    def timed(step, init, label):
+        def chained(n):
+            @jax.jit
+            def f(c):
+                return jax.lax.fori_loop(0, n, lambda i, c: step(c), c)[-1]
+            return f
 
-    def run(label, build, *, inp=base):
-        def step(c):
-            t = inp + c[0].astype(jnp.int8)
-            return consume(build(t), c)
-        timed_chain(step, (jnp.zeros((), jnp.int32), jnp.zeros(())),
-                    lambda c: c[0].astype(jnp.float32), N, label)
+        f1, fN = chained(1), chained(N)
+        t0 = time.time()
+        float(f1(init))
+        log(f"  {label}: compiled+first {time.time()-t0:.1f}s")
+        float(fN(init))
+        t0 = time.time(); float(f1(init)); t1 = time.time() - t0
+        t0 = time.time(); float(fN(init)); tN = time.time() - t0
+        ms = (tN - t1) / (N - 1) * 1e3
+        log(f"  {label}: {ms:.2f} ms/step")
+        return ms
 
-    run("sum_baseline_600B", lambda t: t, inp=pre600)
+    for name in pick:
+        if name == "corners":
+            offs = (0, 1, w, w + 1)
+            tblf = (base_i8.astype(jnp.float32) / 127.0)
+            tbl9 = jnp.concatenate([tblf[..., :9]], axis=-1).astype(jnp.float16)
 
-    def vp(t, k_side, d=2):
-        rd = (k_side // 2) * d
-        return jnp.concatenate(
-            [jnp.roll(t, (rd - j * d) * w, axis=1) for j in range(k_side)],
-            axis=-1)
+            def mk(build):
+                def step(c):
+                    tbl, acc = c
+                    out = build(tbl)
+                    s = jnp.sum(out.astype(jnp.float32))
+                    return (tbl + jnp.float16(1e-6) * s.astype(jnp.float16),
+                            acc + s)
+                return step
 
-    run("vp5_120B", lambda t: vp(t, 5))
+            log(f"[corners] f16 F=9 K=4 out={hw}x36")
+            timed(mk(lambda t: pack.pack_rows_roll(t, offs)),
+                  (tbl9, jnp.zeros(())), "corners_roll")
+            timed(mk(lambda t: pack.pack_rows_pallas(t, offs)),
+                  (tbl9, jnp.zeros(())), "corners_pallas")
+            continue
 
-    vp5_pre = vp(base, 5)
+        k_side, d, rd, P = stages[name]
+        offs = tuple(pack._offsets(k_side, d, rd, w, P))
+        K = len(offs)
+        nq = hw if name == "stageC" else hw // 4
+        n_g = -(-k_side // P)  # gathers per refine stage
+        log(f"[{name}] k={k_side} d={d} P={P} K={K} out={hw}x{K*F} "
+            f"({hw*K*F/1e6:.0f} MB) queries={nq} gathers={n_g}")
+        idx0 = jax.random.randint(jax.random.PRNGKey(7), (1, nq), 0, hw,
+                                  jnp.int32)
 
-    def up(t, P, d=2):
-        return jnp.concatenate(
-            [jnp.roll(t, -p * d, axis=1) for p in range(P)], axis=-1)
+        def mk(build):
+            # consume like the real matcher: n_g random-row gathers + a
+            # sum of the fetched bytes.  sum(table) alone is DCE-able
+            # (sum of a roll == sum of the source), gathers are not.
+            def step(c):
+                tbl, idx, acc = c
+                out = build(tbl)
+                s = jnp.zeros((), jnp.int32)
+                for g in range(n_g):
+                    got = jnp.take_along_axis(
+                        out, ((idx + g * 7) % hw)[..., None], axis=1)
+                    s = s + jnp.sum(got.astype(jnp.int32))
+                return (tbl + (s % 2).astype(jnp.int8),
+                        (idx + s % 3) % hw, acc + s)
+            return step
 
-    run("up5_from_vp_600B", lambda t: up(t, 5), inp=vp5_pre)
+        def mk_control():
+            # gather-only control at the same row count from the narrow
+            # table: build-cost = variant - control
+            def step(c):
+                tbl, idx, acc = c
+                s = jnp.zeros((), jnp.int32)
+                for g in range(n_g):
+                    got = jnp.take_along_axis(
+                        tbl, ((idx + g * 7) % hw)[..., None], axis=1)
+                    s = s + jnp.sum(got.astype(jnp.int32))
+                return (tbl + (s % 2).astype(jnp.int8),
+                        (idx + s % 3) % hw, acc + s)
+            return step
 
-    def direct25(t, d=2):
-        rd = 2 * d
-        return jnp.concatenate(
-            [jnp.roll(t, (rd - j * d) * w - p * d, axis=1)
-             for p in range(5) for j in range(5)], axis=-1)
+        def v0(tbl):
+            v_pack = jnp.concatenate(
+                [jnp.roll(tbl, (rd - j * d) * w, axis=1)
+                 for j in range(k_side)], axis=-1)
+            return jnp.concatenate(
+                [jnp.roll(v_pack, -p * d, axis=1) for p in range(P)],
+                axis=-1)
 
-    run("direct25_600B", direct25)
+        def v2(tbl):
+            from jax import lax
+            img = tbl.reshape(1, h, w, F)
+            out = lax.conv_general_dilated_patches(
+                img, (k_side, P), (1, 1),
+                [(rd, rd), (0, (P - 1) * d)],
+                rhs_dilation=(d, d),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return out.reshape(1, hw, -1)
 
-    run("vp7_168B", lambda t: vp(t, 7, d=5))
-    vp7_pre = vp(base, 7, d=5)
-    run("up2_from_vp7_336B", lambda t: up(t, 2, d=5), inp=vp7_pre)
+        init = (base_i8, idx0, jnp.zeros((), jnp.int32))
+        timed(mk_control(), init, f"{name}_gather_control")
+        timed(mk(v0), init, f"{name}_v0_current")
+        timed(mk(lambda t: pack.pack_rows_roll(t, offs)), init,
+              f"{name}_v1_oneshot")
+        try:
+            timed(mk(v2), init, f"{name}_v2_patches")
+        except Exception as e:
+            log(f"  {name}_v2_patches failed: {type(e).__name__}: {e}")
+        try:
+            timed(mk(lambda t: pack.pack_rows_pallas(t, offs)), init,
+                  f"{name}_v3_pallas")
+        except Exception as e:
+            log(f"  {name}_v3_pallas failed: {type(e).__name__}")
 
 
 if __name__ == "__main__":

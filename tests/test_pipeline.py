@@ -174,3 +174,34 @@ def test_reuse_track_matches_equivalent(seq):
     np.testing.assert_allclose(
         np.asarray(on.arena.T_WC[:n]), np.asarray(off.arena.T_WC[:n]),
         atol=1e-5)
+
+
+def test_arena_grows_past_capacity(seq):
+    """A run producing more keyframes than the arena's initial capacity
+    must complete via power-of-two growth (frame.py::arena_grow) and be
+    bitwise-equivalent to the same run with ample capacity.  The reference
+    would index-error at its fixed 512 slots (frame.py:220-327); silent
+    scatter-clamping (pre-fix behavior) corrupted rows instead."""
+    cfg = load_config("config/eval_no_calib.yaml")
+    cfg["dataset"]["img_size"] = 64
+
+    big = run_system(seq, cfg)  # buffer=32, never grows
+    n_kf = int(big.arena.n_size)
+    assert n_kf >= 2  # growth must actually trigger below
+
+    engine = OracleEngine(seq)
+    small = SLAMSystem(cfg, engine, (seq.h, seq.w), buffer=1)
+    for i in range(len(seq)):
+        small.process_frame(i, seq.images[i])
+    small.terminate()
+
+    assert small.arena.buffer >= n_kf  # grew
+    assert small.arena.buffer == 1 << (n_kf - 1).bit_length() or \
+        small.arena.buffer == max(1, 1 << (n_kf - 1).bit_length())
+    assert int(small.arena.n_size) == n_kf
+    assert small.stats == big.stats
+    err = float(jnp.abs(small.arena.T_WC[:n_kf]
+                        - big.arena.T_WC[:n_kf]).max())
+    assert err == 0.0, err
+    err_x = float(jnp.abs(small.arena.X[:n_kf] - big.arena.X[:n_kf]).max())
+    assert err_x == 0.0, err_x
