@@ -387,19 +387,98 @@ def main():
     host_ms = (time.time() - t0) / reps * 1e3
     log(f"  create_frame host resize+norm: {host_ms:.1f} ms")
 
+    # protocol weights: measured from a pipeline run when available
+    # (main.py writes logs/rates.json — keyframe + retrieval-edge
+    # cadence, VERDICT r2 weak #7), assumed defaults otherwise
     kf_rate = float(os.environ.get("BENCH_KF_RATE", "0.2"))
+    retr_rate = 0.0
+    rates_src = "assumed"
+    rates_path = os.environ.get("BENCH_RATES", "logs/rates.json")
+    if os.path.exists(rates_path):
+        with open(rates_path) as f:
+            measured = json.load(f)
+        log(f"  protocol rates measured ({rates_path}, "
+            f"{measured.get('frames', '?')} frames): "
+            f"kf_rate={measured['kf_rate']:.3f} (assumed {kf_rate}), "
+            f"retrieval_edge_rate={measured['retrieval_edge_rate']:.3f} "
+            f"(assumed 0.0)")
+        kf_rate = float(measured["kf_rate"])
+        retr_rate = float(measured["retrieval_edge_rate"])
+        rates_src = rates_path
     # host frame prep runs on the prefetch thread overlapping the device
     # frame (main.py prefetch pipeline) -> it only costs wall time if it
     # exceeds the device frame
-    protocol_ms = max(frame_ms, host_ms) + kf_rate * (kfedge_ms + ba_ms)
+    protocol_ms = max(frame_ms, host_ms) + kf_rate * (kfedge_ms + ba_ms) \
+        + retr_rate * sym_ms
     protocol_fps = 1e3 / protocol_ms
+    # the assumed-rates composition is always reported alongside, so the
+    # measured-rates headline is auditable against the old fixed weights
+    kf_assumed = float(os.environ.get("BENCH_KF_RATE", "0.2"))
+    protocol_fps_assumed = 1e3 / (
+        max(frame_ms, host_ms) + kf_assumed * (kfedge_ms + ba_ms)
+    )
     log(f"protocol: max({frame_ms:.1f} enc+track, {host_ms:.1f} host "
         f"prefetch) + {kf_rate:.2f}*({kfedge_ms:.1f} kf_edge + "
-        f"{ba_ms:.1f} ba) = "
+        f"{ba_ms:.1f} ba) + {retr_rate:.2f}*{sym_ms:.1f} sym = "
         f"{protocol_ms:.1f} ms -> {protocol_fps:.2f} FPS "
-        f"(single-thread eval-protocol semantics, kf every "
-        f"{1 / kf_rate:.0f} frames; retrieval edges cost the symmetric "
-        f"{sym_ms:.1f} ms when loop closures fire)")
+        f"(single-thread eval-protocol semantics, rates {rates_src})")
+
+    # --- two-chip frontend/backend split (VERDICT r2 next #7) ------------
+    # With >= 2 devices, --backend-device semantics run kf_edge + BA on a
+    # second chip overlapping the frontend chain (pipeline.py).  Measure
+    # the overlapped pair: dispatch the backend chain on dev1, run the
+    # frontend chain on dev0, then read both back — wall time is the
+    # slower of the two plus readback, exactly the production overlap.
+    protocol_fps_2chip = None
+    devs = jax.devices()
+    if len(devs) >= 2:
+        d0, d1 = devs[0], devs[1]
+        params1 = jax.device_put(params, d1)
+        fk1 = jax.device_put(feat_k, d1)
+        pos1 = jax.device_put(pos_k, d1)
+        idx1 = jax.device_put(idx0, d1)
+
+        def kf_edge_step1(params, carry):
+            fi, fj, posb, idxb = carry
+            outs = engine._match_asymmetric_impl(params, fi, posb, fj,
+                                                 posb, idxb)
+            consume = sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+            return (fi + 1e-12 * consume, fj, posb, idxb)
+
+        n_bk = max(1, round(N * kf_rate))
+
+        def chain(step, n, readback):
+            @jax.jit
+            def f(params, carry):
+                body = lambda i, c: step(params, c)  # noqa: E731
+                return readback(jax.lax.fori_loop(0, n, body, carry))
+            return f
+
+        f_front = chain(track_chain_step, N, lambda c: c[0].feat[0, 0])
+        f_back = chain(kf_edge_step1, n_bk, lambda c: c[0][0, 0, 0])
+        front_args = (params, (frame0, kf))
+        back_args = (params1, (fk1, fk1 + 0.01, pos1, idx1))
+        # warm both
+        float(f_front(*front_args)); float(f_back(*back_args))
+        t0 = time.time()
+        h_back = f_back(*back_args)      # async dispatch on dev1
+        h_front = f_front(*front_args)   # dev0 chain
+        float(h_front); float(h_back)
+        wall = time.time() - t0
+        # per-frame overlapped cost: N frontend frames + N*kf_rate backend
+        # rounds ran concurrently; add the non-overlapped encode + BA
+        # (BA pose write-back still serializes with tracking in
+        # single-thread eval mode; threaded mode hides it too)
+        overlap_ms = wall / N * 1e3
+        p2_ms = max(overlap_ms, frame_ms, host_ms) + kf_rate * ba_ms \
+            + retr_rate * sym_ms
+        protocol_fps_2chip = 1e3 / p2_ms
+        log(f"  2chip: overlapped frontend+backend wall {overlap_ms:.1f} "
+            f"ms/frame -> protocol {p2_ms:.1f} ms = "
+            f"{protocol_fps_2chip:.2f} FPS (backend kf_edge on dev1)")
+    else:
+        log("  2chip: skipped (single device harness; stage runs when "
+            ">= 2 devices exist)")
 
     print(json.dumps({
         "metric": "protocol_fps_per_chip",
@@ -407,6 +486,9 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(protocol_fps / 15.0, 3),
         "tracked_fps_per_chip": round(fps, 3),
+        "protocol_fps_assumed_rates": round(protocol_fps_assumed, 3),
+        "protocol_fps_2chip": (round(protocol_fps_2chip, 3)
+                               if protocol_fps_2chip else None),
         "breakdown_ms": {
             "encode": round(enc_ms, 2), "track": round(track_ms, 2),
             "create_frame_host": round(host_ms, 2),
@@ -414,6 +496,8 @@ def main():
             "retrieval_edge_sym": round(sym_ms, 2),
             "kf_ba_solve": round(ba_ms, 2),
             "kf_rate": kf_rate,
+            "retrieval_edge_rate": retr_rate,
+            "rates_src": rates_src,
         },
     }))
 

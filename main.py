@@ -77,6 +77,11 @@ def parse_args():
                         "(PatchEmbed / enc attn / enc mlp / dec self+cross"
                         "+mlp) and print the reference-style summary")
     p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--reference-exact", action="store_true",
+                   help="disable every TPU fast-path approximation "
+                        "(full-res matcher walk, per-component huber, "
+                        "all-pixel BA residuals, symmetric consecutive "
+                        "edges) — the reference-exact A/B bundle")
     return p.parse_args()
 
 
@@ -149,6 +154,11 @@ def main():
     from mast3r_slam_tpu.utils.profiler import profiler
 
     load_config(args.config)
+    if args.reference_exact:
+        from mast3r_slam_tpu.utils.config import (apply_reference_exact,
+                                                  set_global_config)
+
+        set_global_config(apply_reference_exact(config))
     print(f"dataset: {args.dataset}")
     print(f"devices: {jax.devices()}")
 
@@ -281,6 +291,21 @@ def main():
     wall = time.time() - fps_timer
     print(f"done: {n} frames in {wall:.1f}s ({n / wall:.2f} FPS)")
     print(f"stats: {system.stats}")
+    # measured protocol weights (VERDICT r2 weak #7): how often keyframe
+    # rounds and loop-closure (symmetric) edges actually fire per frame —
+    # bench.py folds these into the protocol composition via BENCH_RATES
+    rates = {
+        "frames": n,
+        "kf_rate": system.stats["keyframes"] / max(n, 1),
+        "retrieval_edge_rate":
+            system.stats["retrieval_edges"] / max(n, 1),
+    }
+    print(f"rates: {rates}")
+    import json
+
+    pathlib.Path("logs").mkdir(exist_ok=True)
+    with open("logs/rates.json", "w") as f:
+        json.dump(rates, f)
 
     if getattr(dataset, "save_results", True):
         save_dir, seq_name = evaluate.prepare_savedir(args.save_as, dataset)

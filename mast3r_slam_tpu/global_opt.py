@@ -155,7 +155,7 @@ def _prep_and_solve_cached(X_arena, T_arena,
     if use_calib:
         w, h = img_wh
         Xs = constrain_points_to_ray((h, w), Xs, K)
-    Xj2 = jnp.moveaxis(Xs[jj2][:, ::s], -1, 1)        # (2E, 3, N_sub)
+    Xj2 = jnp.moveaxis(ba.subsample_points(Xs[jj2], s, img_wh), -1, 1)
     pad = Xi2.shape[-1] - Xj2.shape[-1]
     if pad:
         Xj2 = jnp.pad(Xj2, ((0, 0), (0, 0), (0, pad)))
@@ -189,9 +189,11 @@ def _refresh_pre_rows(pre_Xi_f, pre_sqw_f, pre_ind_f,
     C = min(cfg.chunk_points, idx_ii2jj.shape[1])
     rows = lambda a: a[slot_arr]
     pre_f = ba._pregather_edges(Xs, Cs, ii_l, jj_l, rows(idx_ii2jj),
-                                rows(vmj), rows(Qj_arr), ev, cfg, C)
+                                rows(vmj), rows(Qj_arr), ev, cfg, C,
+                                img_wh)
     pre_r = ba._pregather_edges(Xs, Cs, jj_l, ii_l, rows(idx_jj2ii),
-                                rows(vmi), rows(Qi_arr), ev, cfg, C)
+                                rows(vmi), rows(Qi_arr), ev, cfg, C,
+                                img_wh)
     up = lambda store, new: store.at[slot_arr].set(new, mode="drop")
     return (
         up(pre_Xi_f, pre_f.Xi), up(pre_sqw_f, pre_f.sqw),

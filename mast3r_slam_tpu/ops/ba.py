@@ -367,18 +367,49 @@ class EdgeData(NamedTuple):
     ind: jnp.ndarray   # (E, Np) matched linear indices (calib target px)
 
 
+def subsample_points(a, s: int, img_wh):
+    """Spatially balanced stride-``s`` subset along the flat raster axis 1.
+
+    A flat ``[:, ::s]`` covers only every s-th image COLUMN (all rows) —
+    systematically blind to (1 - 1/s) of the columns, which measurably
+    degrades BA accuracy on depth-discontinuity scenes (cliff-scene
+    oracle ATE 3.2x worse at s=4, tests/test_adversarial.py).  Factoring
+    s into near-square strides (sv, su) and taking the (::sv, ::su) 2D
+    grid keeps the same residual count (same TPU gather rows) with
+    unbiased coverage.  Falls back to the flat stride when the factors
+    don't divide (h, w)."""
+    if s <= 1:
+        return a
+    if img_wh is None:
+        return a[:, ::s]
+    w, h = img_wh
+    sv = int(s ** 0.5)
+    while s % sv:
+        sv -= 1
+    su = s // sv
+    if a.shape[1] != h * w or h % sv or w % su:
+        return a[:, ::s]
+    E = a.shape[0]
+    rest = a.shape[2:]
+    return a.reshape(E, h, w, *rest)[:, ::sv, ::su].reshape(
+        E, (h // sv) * (w // su), *rest)
+
+
 def _pregather_edges(Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
-                     edge_valid, cfg: BAConfig, C: int) -> EdgeData:
+                     edge_valid, cfg: BAConfig, C: int,
+                     img_wh=None) -> EdgeData:
     s = max(int(cfg.points_subsample), 1)
     if s > 1:
         # Statistical point subsampling (config local_opt.points_subsample):
-        # the BA residual set is a stride-s subset of each edge's pixels.
-        # The pregather row gather is the BA round's dominant cost on TPU
-        # (row-count-bound gather engine), so cost drops ~1/s; the pose
-        # system keeps N/s >= ~49k residuals per edge at s=4.
-        idx_ii2jj = idx_ii2jj[:, ::s]
-        valid_match = valid_match[:, ::s]
-        Q = Q[:, ::s]
+        # the BA residual set is a balanced stride-s subset of each edge's
+        # pixels (subsample_points).  The pregather row gather is the BA
+        # round's dominant cost on TPU (row-count-bound gather engine), so
+        # cost drops ~1/s; the pose system keeps N/s >= ~49k residuals per
+        # edge at s=4.
+        sub = lambda a: subsample_points(a, s, img_wh)  # noqa: E731
+        idx_ii2jj = sub(idx_ii2jj)
+        valid_match = sub(valid_match)
+        Q = sub(Q)
     E, N = idx_ii2jj.shape
     P, Nx = Xs.shape[0], Xs.shape[1]
     ind = jnp.where(valid_match, idx_ii2jj, 0)
@@ -388,8 +419,8 @@ def _pregather_edges(Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
     )
     gi = src_i[ii[:, None] * Nx + ind]                # (E, N, 4)
     Xi, ci = jnp.moveaxis(gi[..., :3], -1, 1), gi[..., 3]
-    Xj = jnp.moveaxis(Xs[jj][:, ::s], -1, 1)          # (E, 3, N)
-    cj = Cs[jj][:, ::s]
+    Xj = jnp.moveaxis(subsample_points(Xs[jj], s, img_wh), -1, 1)
+    cj = subsample_points(Cs[jj], s, img_wh)          # (E, N)
     static_valid = (
         valid_match & (Q > cfg.Q_conf) & (ci > cfg.C_conf)
         & (cj > cfg.C_conf) & edge_valid[:, None]
@@ -466,7 +497,7 @@ def _accumulate_edge_systems(residual, R, Twc, Xs, Cs, ii, jj, idx_ii2jj,
     N = idx_ii2jj.shape[1]
     C = min(cfg.chunk_points, N)
     pre = _pregather_edges(Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
-                           edge_valid, cfg, C)
+                           edge_valid, cfg, C, img_wh)
     return _accumulate_pre(residual, R, Twc, ii, jj, pre, K, img_wh, cfg)
 
 
@@ -545,7 +576,7 @@ def gauss_newton(Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
     # outside the GN loop (it was ~E*N rows per iteration otherwise).
     C = min(cfg.chunk_points, idx_ii2jj.shape[1])
     pre = _pregather_edges(Xs, Cs2, ii, jj, idx_ii2jj, vm2, Q2,
-                           edge_valid, cfg, C)
+                           edge_valid, cfg, C, img_wh)
     return gauss_newton_from_pre(Twc, pre, ii, jj, K, residual_type,
                                  img_wh, cfg)
 

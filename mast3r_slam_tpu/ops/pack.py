@@ -1,25 +1,31 @@
 """Probe-table packing kernels for the dense matcher.
 
 The matcher's window fetches are row gathers from PRE-PACKED tables: row m
-of the packed table holds the descriptor/ray rows at a fixed set of flat
+of the packed table holds the descriptor rows at a fixed set of flat
 offsets around m (see ops/matching.py::refine_matches).  Reference access
 pattern: matching_kernels.cu:26-81 (one probe per CUDA thread step).
 
 Building those tables with jnp.roll + concatenate is pure data movement,
-but XLA materializes an intermediate per packing level and the narrow
-int8 rows (24 lanes, padded to 128-lane tiles) amplify HBM traffic ~5x —
-measured ~7 ms/frame of runtime table-build cost on v5e (STATUS gap #0).
+but XLA's copies run at ~145 GB/s effective here and the narrow int8
+source rows (24 lanes, padded to 128-lane tiles) amplify HBM read traffic
+~5x — measured ~5 ms/frame of runtime table-build cost on v5e
+(scripts/bench_pack.py; STATUS gap #0).
 
-This module builds each packed table in ONE pass: a Pallas kernel DMAs an
-overlapping row window into VMEM per output tile and assembles the whole
-(R, K*F) tile with static-offset slices, writing the output exactly once.
+``pack_rows_mxu`` builds each packed table in ONE Pallas pass: the
+overlapping input windows come from n_blk adjacent (R, F) BlockSpec views
+of the zero-padded table, and each offset's rows are placed at their lane
+offset with a bitwise-exact bf16 placement matmul.  A manual-DMA window
+formulation (per-offset async copies into lane-sliced destinations) was
+tried first and is unbuildable on this toolchain: Mosaic has no
+sub-128-lane DMA/concat ("result/input offset mismatch on non-concat
+dimension"), and the window-DMA kernel crashes the remote compile helper
+outright.  The MXU placement formulation compiles, is exact, and wins.
 
-Semantics note: jnp.roll wraps at the ends; the kernel CLAMPS its window
-to [0, hw) instead.  The two differ only in packed rows whose probe falls
-outside the image, and every consumer masks those probes out (the
-``inside`` mask in refine_matches, the [1, w-2] clamp in iter_proj), so
-the clamped build is drop-in equivalent.  Equivalence is tested against
-the roll build on interior rows (tests/test_matching.py).
+Semantics note: jnp.roll wraps at the ends; the Pallas build reads zero
+padding there instead.  The two differ only in packed rows whose probe
+falls outside the image, and the consumer masks those probes out (the
+``inside`` mask in refine_matches), so the builds are drop-in equivalent.
+Interior-exact equivalence is tested in tests/test_matching.py.
 """
 
 from __future__ import annotations
@@ -43,73 +49,92 @@ def _offsets(k_side: int, d: int, rd: int, w: int, u_count: int):
     ]
 
 
-def _pack_kernel(in_ref, out_ref, win, wsem, osems, *, offsets, smin, W, R):
-    i = pl.program_id(0)
-    F = in_ref.shape[-1]
-    # input is zero-padded by -smin rows up front, so the window for out
-    # rows [i*R, i*R+R) starts at padded row i*R and every slice start is
-    # static; out-of-image rows read the zero padding (masked downstream)
-    dma = pltpu.make_async_copy(in_ref.at[pl.ds(i * R, W), :], win, wsem)
-    dma.start()
-    dma.wait()
-    # assemble the tile with per-offset DMAs: the destination lane offsets
-    # (multiples of F=24, not 128) are byte-granular for the DMA engine,
-    # where a vector concat would need lane relayouts Mosaic rejects
-    # ("result/input offset mismatch on non-concat dimension")
-    copies = [
-        pltpu.make_async_copy(
-            win.at[s - smin: s - smin + R, :],
-            out_ref.at[:, k * F:(k + 1) * F],
-            osems.at[k],
+@functools.lru_cache(maxsize=None)
+def _placement_sel(K: int, F: int):
+    """(K*F, K*F) 0/1 placement matrix: dot(win_slice_k, sel[kF:(k+1)F])
+    writes the slice's F columns at lane offset k*F.  Mosaic has no
+    lane-granular concat or DMA below 128-lane alignment, so the
+    interleave runs on the MXU instead; int8 magnitudes (<= 127) are
+    exact integers in bf16, making the matmul placement bitwise."""
+    import numpy as np
+
+    sel = np.zeros((K * F, K * F), np.int8)
+    for k in range(K):
+        sel[k * F:(k + 1) * F, k * F:(k + 1) * F] = np.eye(F, dtype=np.int8)
+    return sel
+
+
+def _mxu_pack_kernel(*refs, offsets, smin, R, n_blk, K, F, mm_dtype):
+    blocks = refs[:n_blk]
+    sel_ref = refs[n_blk]
+    out_ref = refs[n_blk + 1]
+    win = jnp.concatenate([b[:] for b in blocks], axis=0)  # (n_blk*R, F)
+    acc = jnp.zeros((R, K * F), jnp.float32)  # Mosaic: matmul acc is 32-bit
+    for k, s in enumerate(offsets):
+        acc = acc + jnp.dot(
+            win[s - smin: s - smin + R, :].astype(mm_dtype),
+            sel_ref[k * F:(k + 1) * F, :],
+            preferred_element_type=jnp.float32,
         )
-        for k, s in enumerate(offsets)
-    ]
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "row_tile"))
-def pack_rows_pallas(flat, offsets: tuple, row_tile: int = 8192):
-    """Packed table out[b, m, k*F:(k+1)*F] = flat[b, m + offsets[k], :]
-    (zero where the offset row is outside [0, hw)) built in one pass.
-    flat: (b, hw, F)."""
+def pack_rows_mxu(flat, offsets: tuple, row_tile: int = 0):
+    """Single-pass packed-table build (see module docstring).
+
+    Exactness by dtype: int8 rides bf16 matmuls (all int8 magnitudes are
+    exact bf16 integers); f16/f32 ride f32 matmuls (f16 embeds exactly in
+    f32, and a 0/1 placement contraction adds one nonzero to zeros, so
+    the result is bitwise the source value)."""
     b, hw, F = flat.shape
+    if flat.dtype not in (jnp.int8, jnp.float16, jnp.float32):
+        raise ValueError(f"pack_rows_mxu: unsupported dtype {flat.dtype}")
+    mm_dtype = jnp.bfloat16 if flat.dtype == jnp.int8 else jnp.float32
     offsets = tuple(int(s) for s in offsets)
     K = len(offsets)
     smin = min(0, *offsets)
     smax = max(0, *offsets)
+    span = smax - smin
+    if not row_tile:
+        # keep the bf16 accumulator + blocks inside VMEM for wide packs
+        row_tile = 4096 if K * F <= 384 else 2048
     R = min(row_tile, hw)
     if hw % R:
-        raise ValueError(f"pack_rows_pallas: hw={hw} not divisible by {R}")
-    W = R + (smax - smin)
-    W += -W % 8  # DMA slice shapes must be 8-sublane aligned
-    padded = jnp.pad(flat, ((0, 0), (-smin, W - R - (-smin)), (0, 0)))
+        raise ValueError(f"pack_rows_mxu: hw={hw} not divisible by {R}")
+    n_blk = -(-span // R) + 1
 
+    sel = jnp.asarray(_placement_sel(K, F), mm_dtype)
     kern = functools.partial(
-        _pack_kernel, offsets=offsets, smin=smin, W=W, R=R
+        _mxu_pack_kernel, offsets=offsets, smin=smin, R=R, n_blk=n_blk,
+        K=K, F=F, mm_dtype=mm_dtype,
     )
+    in_specs = [
+        pl.BlockSpec((R, F), (lambda j: (lambda i: (i + j, 0)))(j),
+                     memory_space=pltpu.VMEM)
+        for j in range(n_blk)
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM)]
     call = pl.pallas_call(
         kern,
         grid=(hw // R,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((R, K * F), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hw, K * F), flat.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((W, F), flat.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((K,)),
-        ],
     )
-    return jax.vmap(call)(padded)
+
+    def one(fb):
+        padded = jnp.pad(fb, ((-smin, n_blk * R - (-smin)), (0, 0)))
+        return call(*([padded] * n_blk + [sel]))
+
+    if b == 1:
+        return one(flat[0])[None]
+    return jnp.stack([one(flat[i]) for i in range(b)])
 
 
 def pack_rows_roll(flat, offsets: tuple):
     """Reference build: concat of wrapped rolls (out row m block k =
-    flat[(m + offsets[k]) mod hw]).  One concat, no intermediate packing
-    levels."""
+    flat[(m + offsets[k]) mod hw])."""
     return jnp.concatenate(
         [jnp.roll(flat, -s, axis=1) for s in offsets], axis=-1
     )
@@ -122,18 +147,17 @@ def _on_tpu() -> bool:
         return False
 
 
-def pack_rows(flat, offsets, row_tile: int = 8192, force=None):
-    """Dispatch: Pallas single-pass build on TPU when the shape allows,
-    roll-based build otherwise.  ``force``: None | "pallas" | "roll"."""
+def pack_rows(flat, offsets, force=None):
+    """Dispatch: Pallas MXU single-pass build on TPU for int8 tables when
+    the shape allows, roll-based build otherwise.
+    ``force``: None | "mxu" | "roll"."""
     b, hw, F = flat.shape
     offsets = tuple(int(s) for s in offsets)
-    smin = min(0, *offsets)
-    smax = max(0, *offsets)
-    R = min(row_tile, hw)
-    ok = hw % R == 0
-    use_pallas = (force == "pallas") or (force is None and ok and _on_tpu())
-    if use_pallas:
+    row_tile = min(4096 if len(offsets) * F <= 384 else 2048, hw)
+    ok = hw % row_tile == 0 and flat.dtype == jnp.int8
+    use_mxu = (force == "mxu") or (force is None and ok and _on_tpu())
+    if use_mxu:
         if not ok:
-            raise ValueError("pack_rows: shape unsupported for pallas")
-        return pack_rows_pallas(flat, offsets, row_tile=R)
+            raise ValueError("pack_rows: shape unsupported for mxu build")
+        return pack_rows_mxu(flat, offsets)
     return pack_rows_roll(flat, offsets)

@@ -64,7 +64,8 @@ def sharded_gauss_newton(mesh: Mesh, Twc, Xs, Cs, ii, jj, idx_ii2jj,
         # pose-independent permutation gather hoisted out of the GN loop
         # (local to this device's edge shard)
         C = min(cfg.chunk_points, idx.shape[1])
-        pre = ba._pregather_edges(Xs, Cs2, ii, jj, idx, vm, Q2, ev, cfg, C)
+        pre = ba._pregather_edges(Xs, Cs2, ii, jj, idx, vm, Q2, ev, cfg, C,
+                                  img_wh)
 
         def body(state):
             Twc, it, delta, ok, done = state
@@ -144,14 +145,14 @@ def sharded_gauss_newton_mapshard(mesh: Mesh, Twc, Xs, Cs, ii, jj,
     Cs2 = Cs[..., 0] if Cs.ndim == 3 else Cs
     vm2 = valid_match[..., 0] if valid_match.ndim == 3 else valid_match
     Q2 = Q[..., 0] if Q.ndim == 3 else Q
-    # points_subsample (cfg): same stride-s residual subset as
+    # points_subsample (cfg): same balanced stride-s residual subset as
     # ba._pregather_edges — slice the per-point edge arrays up front (the
     # index VALUES stay full-res; the raster side is sliced in-kernel)
     s_sub = max(int(cfg.points_subsample), 1)
     if s_sub > 1:
-        idx_ii2jj = idx_ii2jj[:, ::s_sub]
-        vm2 = vm2[:, ::s_sub]
-        Q2 = Q2[:, ::s_sub]
+        idx_ii2jj = ba.subsample_points(idx_ii2jj, s_sub, img_wh)
+        vm2 = ba.subsample_points(vm2, s_sub, img_wh)
+        Q2 = ba.subsample_points(Q2, s_sub, img_wh)
 
     kfspec = P("edge")   # keyframe axis sharded over the same mesh axis
     rspec = P()
@@ -182,8 +183,10 @@ def sharded_gauss_newton_mapshard(mesh: Mesh, Twc, Xs, Cs, ii, jj,
                        src[li[:, None] * Nx + ind], 0.0)      # (E, Ns, 4)
         gj = jnp.where(own_j[:, None, None],
                        jnp.concatenate(
-                           [Xs_loc[lj][:, ::s_sub],
-                            Cs_loc[lj][:, ::s_sub][..., None]], axis=-1),
+                           [ba.subsample_points(Xs_loc[lj], s_sub, img_wh),
+                            ba.subsample_points(Cs_loc[lj], s_sub,
+                                                img_wh)[..., None]],
+                           axis=-1),
                        0.0)                                   # (E, Ns, 4)
 
         # -- stage 2: one reduce-scatter per side -> local edge shard ----

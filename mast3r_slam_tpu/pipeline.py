@@ -199,7 +199,7 @@ class SLAMSystem:
         self.last_T_WC = sim3.identity()
         self.reloc_attempts = 0
         self.stats = {"tracked": 0, "skipped": 0, "keyframes": 0,
-                      "reloc": 0, "ba_rounds": 0}
+                      "reloc": 0, "ba_rounds": 0, "retrieval_edges": 0}
         if not self.single_thread:
             self._backend_thread = threading.Thread(
                 target=self._backend_loop, daemon=True
@@ -479,6 +479,12 @@ class SLAMSystem:
             )
             kf_idx += retrieval_inds
             kf_idx = list(set(kf_idx) - {idx})
+            # measured protocol weights (bench.py composition): how often
+            # loop-closure edges (the full symmetric decode+match cost)
+            # actually fire, vs the reused consecutive edge
+            self.stats["retrieval_edges"] += len(
+                set(kf_idx) - {idx - 1}
+            )
             if kf_idx:
                 frame_idx = [idx] * len(kf_idx)
                 with self._lock:
@@ -627,6 +633,7 @@ class SLAMSystem:
             stats=np.asarray(
                 [self.stats[k] for k in sorted(self.stats)], np.int64
             ),
+            stats_keys=np.asarray(sorted(self.stats)),
             **arrays,
         )
 
@@ -666,8 +673,13 @@ class SLAMSystem:
                 g._alloc_pre(g.max_edges)
                 g._pre_fresh = np.zeros((g.max_edges,), bool)
             g.invalidate_cache()
-        for k, v in zip(sorted(self.stats), d["stats"]):
-            self.stats[k] = int(v)
+        # restore by NAME (stats_keys) so checkpoints survive stats
+        # schema growth; positional zip for pre-schema snapshots
+        keys = ([str(k) for k in d["stats_keys"]] if "stats_keys" in d
+                else sorted(self.stats))
+        for k, v in zip(keys, d["stats"]):
+            if k in self.stats:
+                self.stats[k] = int(v)
         self._kf_count = int(self.arena.n_size)
         if self._bdev is not None:  # mirror is stale: full resync next round
             self._n_kf_host = int(self.arena.n_size)

@@ -22,16 +22,40 @@ from .ops import lie_sim3 as sim3
 from .ops.geometry import get_pixel_coords
 
 
-def surface_z(x, y):
-    """Smooth world surface height field."""
-    return 4.0 + 0.6 * np.sin(1.3 * x) * np.cos(1.1 * y)
+def surface_z(x, y, scene: str = "smooth"):
+    """World surface height field.  Scenes (VERDICT r2 weak #4 —
+    adversarial geometry for the approximation stack):
+
+    * ``smooth``   — the original single-valued smooth surface.
+    * ``cliff``    — smooth surface with a ~1.2 m step discontinuity along
+      a curved line (depth-discontinuity stress: subsampled/interpolated
+      match positions straddle the step).
+    """
+    z = 4.0 + 0.6 * np.sin(1.3 * x) * np.cos(1.1 * y)
+    if scene == "cliff":
+        z = z - 1.2 * (np.sin(0.9 * x + 0.7 * y) > 0.2)
+    return z
 
 
-def texture(x, y):
-    """Smooth RGB texture on the surface."""
-    r = 0.5 + 0.5 * np.sin(2.0 * x)
-    g = 0.5 + 0.5 * np.cos(1.7 * y)
-    b = 0.5 + 0.5 * np.sin(1.1 * (x + y))
+# floating occluder slab (scene == "occluder"): plane z = OCC_Z over a
+# disk in (x, y) — true occlusions + hard depth discontinuities
+OCC_Z = 2.6
+OCC_CENTER = (0.4, -0.3)
+OCC_R = 0.9
+
+
+def occluder_mask(x, y):
+    cx, cy = OCC_CENTER
+    return (x - cx) ** 2 + (y - cy) ** 2 < OCC_R ** 2
+
+
+def texture(x, y, fg=False):
+    """Smooth RGB texture on the surface (shifted palette on the
+    occluder so its descriptors differ from the background's)."""
+    s = 2.4 if fg else 0.0
+    r = 0.5 + 0.5 * np.sin(2.0 * x + s)
+    g = 0.5 + 0.5 * np.cos(1.7 * y - s)
+    b = 0.5 + 0.5 * np.sin(1.1 * (x + y) + s)
     return np.stack([r, g, b], axis=-1)
 
 
@@ -42,7 +66,7 @@ def make_K(h, w):
     )
 
 
-def render_view(T_WC, h, w, K):
+def render_view(T_WC, h, w, K, scene: str = "smooth"):
     """Ray-march the surface from a camera pose.  Returns (rgb (h,w,3) in
     [0,1], X_cam (h*w, 3) pointmap in camera coords, X_world (h*w, 3))."""
     Kinv = np.linalg.inv(K)
@@ -54,16 +78,51 @@ def render_view(T_WC, h, w, K):
     t, s = T[:3], T[7]
     Rm = np.asarray(sim3.sim3_matrix(jnp.asarray(T)))[:3, :3] / s
     d_w = (Rm @ dirs.T).T
+    bg = "cliff" if scene == "cliff" else "smooth"
     lam = np.full(h * w, 3.0, np.float64)
     for _ in range(60):
         Xw = t[None] + lam[:, None] * d_w
-        lam = lam + (surface_z(Xw[:, 0], Xw[:, 1]) - Xw[:, 2]) / d_w[:, 2]
+        lam = lam + (surface_z(Xw[:, 0], Xw[:, 1], bg) - Xw[:, 2]) \
+            / d_w[:, 2]
     Xw = (t[None] + lam[:, None] * d_w).astype(np.float32)
+    rgb = texture(Xw[:, 0], Xw[:, 1]).reshape(-1, 3)
+    if scene == "occluder":
+        # ray/plane hit on the slab; takes precedence when closer
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam_fg = (OCC_Z - t[2]) / d_w[:, 2]
+        Xf = t[None] + lam_fg[:, None] * d_w
+        hit = (
+            np.isfinite(lam_fg) & (lam_fg > 0.05) & (lam_fg < lam)
+            & occluder_mask(Xf[:, 0], Xf[:, 1])
+        )
+        Xw = np.where(hit[:, None], Xf.astype(np.float32), Xw)
+        rgb = np.where(hit[:, None], texture(Xf[:, 0], Xf[:, 1], fg=True),
+                       rgb)
     Xc = np.asarray(
         sim3.act(sim3.inv(jnp.asarray(T)), jnp.asarray(Xw))
     )
-    rgb = texture(Xw[:, 0], Xw[:, 1]).reshape(h, w, 3).astype(np.float32)
+    rgb = rgb.reshape(h, w, 3).astype(np.float32)
     return rgb, Xc, Xw
+
+
+def world_descriptors(X_world, f: int = 24, base_wavelength: float = 0.35):
+    """View-invariant, locally discriminative descriptors: multi-frequency
+    positional encodings of the WORLD surface coordinates.  Two pixels (in
+    any two views) observing the same surface point get the same
+    descriptor; the dot product peaks at the true correspondence and
+    decays with surface distance — like real MASt3R descriptors, but
+    checkpoint-free.  ``base_wavelength`` sets the finest spatial period
+    (world units) — keep it a few pixel footprints for 1-px
+    discrimination without aliasing inside the matcher's search window."""
+    x, y = X_world[:, 0], X_world[:, 1]
+    feats = []
+    for k in range(f // 4):
+        freq = 2 * np.pi * (k + 1) / (base_wavelength * (f // 4))
+        feats += [np.sin(freq * x), np.cos(freq * x),
+                  np.sin(freq * y), np.cos(freq * y)]
+    D = np.stack(feats, axis=-1).astype(np.float32)
+    D /= np.linalg.norm(D, axis=-1, keepdims=True)
+    return D
 
 
 def make_trajectory(n_frames: int, scale: float = 0.02, seed: int = 0,
@@ -92,15 +151,16 @@ class SyntheticSequence:
     """Rendered clip with ground truth, presented like a dataset."""
 
     def __init__(self, n_frames=20, h=48, w=64, seed=0, traj_scale=0.02,
-                 loop=False):
+                 loop=False, scene="smooth"):
         self.h, self.w = h, w
         self.K = make_K(h, w)
+        self.scene = scene
         self.T_WC = make_trajectory(n_frames, traj_scale, seed, loop)
         self.images = []
         self.X_cam = []
         self.X_world = []
         for i in range(n_frames):
-            rgb, Xc, Xw = render_view(self.T_WC[i], h, w, self.K)
+            rgb, Xc, Xw = render_view(self.T_WC[i], h, w, self.K, scene)
             self.images.append(rgb)
             self.X_cam.append(Xc)
             self.X_world.append(Xw)
@@ -215,7 +275,11 @@ class OracleEngine:
 
     def _match(self, i, j):
         """idx mapping camera-j pixels -> camera-i pixel indices via true
-        projection (with optional pixel noise), plus validity."""
+        projection (with optional pixel noise), plus validity.  A
+        projected point whose target pixel sees DIFFERENT geometry
+        (occlusion — the slab or a cliff wall in front of it) is marked
+        invalid, mirroring the reference matcher's 3D-distance occlusion
+        gate (matching.py:71-76)."""
         Xc_i = np.asarray(
             sim3.act(sim3.inv(self.seq.T_WC[i]),
                      jnp.asarray(self.seq.X_world[j]))
@@ -231,6 +295,13 @@ class OracleEngine:
         inside = (u >= 0) & (u < self.w) & (v >= 0) & (v < self.h) \
             & (Xc_i[:, 2] > 0)
         idx = np.where(inside, v * self.w + u, 0).astype(np.int32)
+        # occlusion gate: the point view i actually renders at the target
+        # pixel must be (near) the projected point
+        seen = self.seq.X_world[i][idx]
+        d3 = np.linalg.norm(seen - self.seq.X_world[j], axis=-1)
+        pix = np.linalg.norm(self.seq.X_cam[i][idx], axis=-1) / max(
+            float(self.seq.K[0, 0]), 1.0)  # ~1-pixel 3D footprint
+        inside &= d3 < np.maximum(0.1, 3.0 * pix)
         return idx, inside
 
     @staticmethod

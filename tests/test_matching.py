@@ -372,3 +372,29 @@ def test_match_dilation_schedule_agrees():
             both = v_ref[..., 0] & vv[..., 0]
             agree = float(jnp.mean(jnp.where(both, idx == idx_ref, True)))
             assert agree >= bar, (xi, fr, agree)
+
+
+def test_pack_rows_mxu_matches_roll_interior():
+    """The Pallas MXU-placement packed-table build must equal the
+    roll-based build bitwise on every interior row (rows whose probes all
+    fall inside the image); boundary rows differ only where the consumer
+    masks (wrap vs zero padding — ops/pack.py docstring).  int8 and f16
+    paths."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mast3r_slam_tpu.ops import pack
+
+    h, w = 24, 32
+    hw = h * w
+    rng = np.random.default_rng(0)
+    offs = tuple(pack._offsets(5, 2, 4, w, 2))
+    lo, hi = -min(0, min(offs)), hw - max(0, max(offs))
+
+    tbl8 = jnp.asarray(rng.integers(-127, 128, (1, hw, 8), dtype=np.int8))
+    tblf = jnp.asarray(
+        rng.standard_normal((1, hw, 8)).astype(np.float16))
+    for tbl in (tbl8, tblf):
+        roll = np.asarray(pack.pack_rows_roll(tbl, offs))
+        with pltpu.force_tpu_interpret_mode():
+            mxu = np.asarray(pack.pack_rows_mxu(tbl, offs))
+        np.testing.assert_array_equal(roll[:, lo:hi], mxu[:, lo:hi])
