@@ -4,8 +4,8 @@
 Measures the full frontend frame step at production resolution (512x384,
 ViT-L two-view model, random weights — FLOP-identical to real weights):
 encoder + two-view decoder/head + dense iterative-projective matching +
-Gauss-Newton Sim(3) pose solve (full 50 iterations, no early exit), all on
-device.
+Gauss-Newton Sim(3) pose solve (at the pipeline-measured iteration
+cadence — see the gn_iters block below), all on device.
 
 Timing methodology: the harness TPU is reached through a relay where
 ``block_until_ready`` does not synchronize and each dispatch costs ~20 ms
@@ -88,11 +88,34 @@ def main():
         model, params, (h, w),
         match_cfg=MatchingConfig(dist_thresh=1e9, coarse_subsample=2,
                                  final_radius=1, coarse_radius=2,
-                                 dilation_schedule=(4, 2)),
+                                 dilation_schedule=(4, 2), lm_subsample=4),
     )  # coarse_subsample=2 + final_radius=1 + coarse_radius=2 + the (4,2)
-       # dilation schedule mirror the production config (config/base.yaml)
+       # dilation schedule + lm_subsample=4 mirror the production config
+       # (config/base.yaml)
+
+    # GN iteration count: the production while_loop exits at convergence
+    # (reference parity: host-side break, tracker.py:166); max_iters=50 is
+    # only the cap.  The pipeline measures the real cadence
+    # (rates.json mean_gn_iters, oracle clip ~4.8); the chain runs that
+    # many iterations with the convergence exit disabled (random-weight
+    # fixtures would otherwise exit degenerately after ~1).  BENCH_GN_ITERS
+    # overrides (set 50 for the worst-case cap).
+    gn_iters = int(os.environ.get("BENCH_GN_ITERS", "0"))
+    if not gn_iters:
+        rp = os.environ.get("BENCH_RATES", "logs/rates.json")
+        gn_iters = 50
+        if os.path.exists(rp):
+            try:
+                with open(rp) as f:
+                    m = json.load(f).get("mean_gn_iters")
+                if m:
+                    gn_iters = max(1, round(float(m)))
+            except Exception:
+                pass
+    log(f"  GN iterations per track step: {gn_iters} "
+        f"(measured cadence; cap 50 — BENCH_GN_ITERS overrides)")
     tcfg = trk.TrackerConfig(C_conf=-1e9, Q_conf=-1e9, rel_error=0.0,
-                             delta_norm=0.0)
+                             delta_norm=0.0, max_iters=gn_iters)
     K = jnp.eye(3)
     # use the engine's (bf16-trunk-cast) params in every timed chain — the
     # production pipeline runs with these (bitwise-identical outputs,
@@ -497,6 +520,7 @@ def main():
             "kf_ba_solve": round(ba_ms, 2),
             "kf_rate": kf_rate,
             "retrieval_edge_rate": retr_rate,
+            "gn_iters": gn_iters,
             "rates_src": rates_src,
         },
     }))

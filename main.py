@@ -299,6 +299,10 @@ def main():
         "kf_rate": system.stats["keyframes"] / max(n, 1),
         "retrieval_edge_rate":
             system.stats["retrieval_edges"] / max(n, 1),
+        "mean_gn_iters": (
+            system.tracker.gn_iters_total
+            / max(system.tracker.gn_frames, 1)
+        ),
     }
     print(f"rates: {rates}")
     import json

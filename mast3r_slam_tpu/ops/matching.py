@@ -58,11 +58,14 @@ class MatchingConfig(NamedTuple):
     # so 8 stays the default.  Kept as an option for future XLA versions.
     coarse_bits: int = 8
     # Radius of the final full-resolution d=1 refine pass when
-    # coarse_subsample=2 (0 = same as `radius`).  After the coarse walk the
-    # interpolated position field is within ~1-2 px of the optimum, so a
-    # smaller final window preserves ATE while cutting the dominant
-    # gather-byte cost of the per-pixel stage ((2r+1)^2 probes/query).
-    # Ignored when coarse_subsample=1 (reference-exact path).
+    # coarse_subsample=2 (0 = same as `radius`; -1 = SKIP the per-pixel
+    # pass entirely and emit the rounded interpolated coarse positions —
+    # the cheapest option; the per-pixel stage is the matcher's largest
+    # single gather, 196k rows + 42 MB random bytes).  After the coarse
+    # walk the interpolated position field is within ~1-2 px of the
+    # optimum, so a smaller final window preserves ATE while cutting the
+    # dominant gather-byte cost of the per-pixel stage ((2r+1)^2
+    # probes/query).  Ignored when coarse_subsample=1 (reference-exact).
     final_radius: int = 0
     # Radius for the coarse dilations BELOW dilation_max when
     # coarse_subsample=2 (0 = same as `radius`).  The first (coarsest)
@@ -83,6 +86,18 @@ class MatchingConfig(NamedTuple):
     # entries use `coarse_radius`.  Validated like coarse_radius (exact on
     # small warps, >=99.5% on extreme keyframe-reset warps + oracle ATE).
     dilation_schedule: tuple = ()
+    # Resolution of the LM ray TABLE (the search image): 1 = full-res
+    # (reference-exact), 2 = the 9-channel ray+gradient field is built
+    # from the 2x-subsampled pointmap and the LM solves in half-res
+    # coordinates (positions scaled back up for the refine walk).  The
+    # corner-pack build + 9-channel prep are table-side costs (~2 ms at
+    # production res: narrow-row lane padding amplifies every pass over
+    # the (hw, 9) f16 field); the coarse refine walk's reach (radius *
+    # dilation_max >= 12 px) absorbs the ~1 px coarser LM optimum, and
+    # the occlusion/confidence gates still run on the true full-res
+    # pointmaps.  Validated like coarse_subsample (match agreement on
+    # rendered occlusion scenes + oracle ATE).
+    lm_table_subsample: int = 1
     # Query grid stride for the LM projection stage alone (0 = same as
     # coarse_subsample).  4 runs the LM solve on the quarter grid and
     # 2x-interpolates its position field onto the half grid before the
@@ -114,6 +129,7 @@ class MatchingConfig(NamedTuple):
             coarse_radius=int(d.get("coarse_radius", 0)),
             dilation_schedule=tuple(
                 int(x) for x in d.get("dilation_schedule", ())),
+            lm_table_subsample=int(d.get("lm_table_subsample", 1)),
             lm_subsample=int(d.get("lm_subsample", 0)),
             occlusion_subsample=int(d.get("occlusion_subsample", 1)),
         )
@@ -136,22 +152,28 @@ def _normalize(x, axis=-1):
     return x / jnp.maximum(n, 1e-12)
 
 
-def prep_for_iter_proj(X11, X21, idx_1_to_2_init):
+def prep_for_iter_proj(X11, X21, idx_1_to_2_init, table_subsample: int = 1):
     """Build the 9-channel ray+gradient image, normalized target points and
     the initial pixel guesses (matching.py:25-49).
 
     X11, X21: (b, h, w, 3) pointmaps. idx init: (b, h*w) int or None.
+    ``table_subsample`` > 1 builds the ray field from the subsampled
+    pointmap; the returned ``p_init`` is then in TABLE coordinates
+    (full-res position / s) — scale iter_proj's output back up.
     """
     b, h, w, _ = X11.shape
-    rays = _normalize(X11)
+    s = max(int(table_subsample), 1)
+    rays = _normalize(X11[:, ::s, ::s] if s > 1 else X11)
     gx, gy = img_gradient(rays)
-    rays_with_grad = jnp.concatenate([rays, gx, gy], axis=-1)  # (b,h,w,9)
+    rays_with_grad = jnp.concatenate([rays, gx, gy], axis=-1)
 
     pts3d_norm = _normalize(X21.reshape(b, h * w, 3))
 
     if idx_1_to_2_init is None:
         idx_1_to_2_init = jnp.broadcast_to(jnp.arange(h * w)[None], (b, h * w))
     p_init = lin_to_pixel(idx_1_to_2_init, w).astype(X11.dtype)
+    if s > 1:
+        p_init = p_init / float(s)
     return rays_with_grad, pts3d_norm, p_init
 
 
@@ -550,8 +572,9 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
     and only the final d=1 refine is per-pixel; see MatchingConfig.
     """
     b, h, w = X21.shape[:3]
+    lmt = (cfg.lm_table_subsample == 2 and h % 2 == 0 and w % 2 == 0)
     rays_img, pts3d_norm, p_init = prep_for_iter_proj(
-        X11, X21, idx_1_to_2_init
+        X11, X21, idx_1_to_2_init, table_subsample=2 if lmt else 1
     )
     cs = cfg.coarse_subsample
     half = cs == 2 and h % 2 == 0 and w % 2 == 0
@@ -571,6 +594,8 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
         max_iter=cfg.max_iter, lambda_init=cfg.lambda_init,
         cost_thresh=cfg.convergence_thresh,
     )
+    if lmt:
+        p1 = p1 * 2.0  # table coords -> full-res pixels
     if lm4:
         # LM ran on the quarter grid: interpolate its (full-res-coordinate)
         # position field up to the half grid for the refine walk
@@ -673,7 +698,7 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
         dists2 = jnp.linalg.norm(X11_at - X21.reshape(b, h * w, 3), axis=-1)
         valid = valid_proj2 & (dists2 < cfg.dist_thresh)
 
-    if cfg.radius > 0:
+    if cfg.radius > 0 and not (half and cfg.final_radius < 0):
         r_final = cfg.final_radius if (half and cfg.final_radius > 0) \
             else cfg.radius
         p1 = refine_matches(

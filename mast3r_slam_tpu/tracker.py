@@ -370,8 +370,8 @@ def opt_pose_ray_dist_sim3(Xf, Xk, T_init, Qk, valid, cfg: TrackerConfig):
             step = body_closed_form
     else:
         step = body
-    T, _, _, _, ok = jax.lax.while_loop(cond, step, init)
-    return T, ok
+    T, _, it, _, ok = jax.lax.while_loop(cond, step, init)
+    return T, ok, it
 
 
 def opt_pose_calib_sim3(Xf, Xk, T_init, Qk, valid, meas_k, valid_meas_k, K,
@@ -408,8 +408,8 @@ def opt_pose_calib_sim3(Xf, Xk, T_init, Qk, valid, meas_k, valid_meas_k, K,
 
     init = (T_init, jnp.inf, jnp.zeros((), jnp.int32),
             jnp.zeros((), bool), jnp.ones((), bool))
-    T, _, _, _, ok = jax.lax.while_loop(cond, body, init)
-    return T, ok
+    T, _, it, _, ok = jax.lax.while_loop(cond, body, init)
+    return T, ok, it
 
 
 # ---------------------------------------------------------------------------
@@ -432,6 +432,10 @@ class TrackResult(NamedTuple):
     valid_match: jnp.ndarray    # (1, hw, 1) bool
     Qff: jnp.ndarray            # (1, hw, 1) frame self desc-conf
     Qkf: jnp.ndarray            # (1, hw, 1) keyframe cross desc-conf
+    gn_iters: jnp.ndarray       # () int32 GN iterations actually run
+    # (the while_loop exits at convergence like the reference's host-side
+    # break, tracker.py:166; the bench pins max_iters as worst case —
+    # this field lets the pipeline measure the real cadence)
 
 
 def track_step(engine_match_asym, frame: Frame, keyframe: Frame, idx_init,
@@ -450,6 +454,17 @@ def track_step(engine_match_asym, frame: Frame, keyframe: Frame, idx_init,
             idx_init,
         )
     )
+    if os.environ.get("MAST3R_TRACK_BARRIER", "1") != "0":
+        # Semantics-free scheduling fence: without it XLA fuses/schedules
+        # the GN+fusion section into the decode+match section and the
+        # whole track step costs ~3 ms MORE than the sum of its parts
+        # (36.3 vs 33.2 ms measured on v5e, scripts/bench_stages.py
+        # track A/B; decode+match alone shows no such penalty).
+        # optimization_barrier is the identity on values.
+        (idx_f2k_b, valid_match_k_b, Xff, Cff, Qff, Xkf, Ckf, Qkf) = (
+            jax.lax.optimization_barrier(
+                (idx_f2k_b, valid_match_k_b, Xff, Cff, Qff, Xkf, Ckf,
+                 Qkf)))
     idx_f2k = idx_f2k_b[0]
     valid_match_k = valid_match_k_b[0]
     Xff, Cff, Qff = Xff[0], Cff[0], Qff[0]
@@ -519,12 +534,12 @@ def track_step(engine_match_asym, frame: Frame, keyframe: Frame, idx_init,
     T_WCf, T_WCk = frame.T_WC, keyframe.T_WC
     T_init = sim3.rel(T_WCk, T_WCf)
     if cfg.use_calib:
-        T_CkCf, ok = opt_pose_calib_sim3(
+        T_CkCf, ok, gn_iters = opt_pose_calib_sim3(
             Xf_m, Xk_gn, T_init, Qk, valid_opt.astype(Xf_m.dtype),
             meas_k_gn, valid_meas_k_gn, K, (h, w), cfg,
         )
     else:
-        T_CkCf, ok = opt_pose_ray_dist_sim3(
+        T_CkCf, ok, gn_iters = opt_pose_ray_dist_sim3(
             Xf_m, Xk_gn, T_init, Qk, valid_opt.astype(Xf_m.dtype), cfg
         )
 
@@ -556,6 +571,7 @@ def track_step(engine_match_asym, frame: Frame, keyframe: Frame, idx_init,
         valid_match=valid_match_k_b,
         Qff=Qff[None],
         Qkf=Qkf[None],
+        gn_iters=gn_iters,
     )
 
 
@@ -571,6 +587,10 @@ class FrameTracker:
         self.cfg = cfg
         self.K = K if K is not None else jnp.eye(3)
         self.idx_f2k = None
+        # measured GN cadence (rates.json; the while_loop exits at
+        # convergence, the config max_iters=50 is only the cap)
+        self.gn_iters_total = 0
+        self.gn_frames = 0
 
         if hasattr(engine, "_match_asymmetric_impl"):
             # Bind the engine's impl so the whole step
@@ -616,6 +636,8 @@ class FrameTracker:
         # Host decisions (one device->host sync per frame, like the
         # reference's match_frac check at tracker.py:67-70)
         match_frac = float(res.match_frac)
+        self.gn_iters_total += int(res.gn_iters)
+        self.gn_frames += 1
         ok = bool(res.ok)
         if match_frac < self.cfg.min_match_frac or not ok:
             self.idx_f2k = res.idx_f2k  # keep warm start

@@ -83,8 +83,13 @@ def main():
         model, params, (h, w),
         match_cfg=matching.MatchingConfig(coarse_subsample=2,
                                           final_radius=1, coarse_radius=2,
-                                          dilation_schedule=(4, 2)),
-    )  # production matching config (config/base.yaml)
+                                          dilation_schedule=(4, 2),
+                                          lm_subsample=4,
+                                          dist_thresh=1e9),
+    )  # production matching config (config/base.yaml); dist_thresh=1e9
+       # keeps all matches valid on the random-weight fixtures, like
+       # bench.py — otherwise the GN while_loop exits after ~1 iteration
+       # (singular H -> done) and track/glue under-measure by ~4 ms
     params = engine.params  # bf16-trunk-cast (production weights)
     img = jax.random.normal(jax.random.PRNGKey(1), (1, h, w, 3), jnp.float32)
 
@@ -241,6 +246,12 @@ def main():
                             coarse_radius=2),
             "mrt_s42": dict(coarse_subsample=2, final_radius=1,
                             coarse_radius=2, dilation_schedule=(4, 2)),
+            "mrt_s42lt": dict(coarse_subsample=2, final_radius=1,
+                              coarse_radius=2, dilation_schedule=(4, 2),
+                              lm_table_subsample=2),
+            "mrt_s42lm4": dict(coarse_subsample=2, final_radius=1,
+                               coarse_radius=2, dilation_schedule=(4, 2),
+                               lm_subsample=4),
             "mrt_s42f2": dict(coarse_subsample=2, final_radius=2,
                               coarse_radius=2, dilation_schedule=(4, 2)),
         }
@@ -603,7 +614,7 @@ def main():
                                  delta_norm=0.0, max_iters=50)
 
         def gn_step(_, c):
-            T, _ = trk.opt_pose_ray_dist_sim3(
+            T, _, _ = trk.opt_pose_ray_dist_sim3(
                 Xf + 1e-12 * c[0], Xf, sim3.identity(), Qk, valid, tcfg)
             return (c[0] + 1e-12 * T[0], c[1])
         timed_chain(gn_step, (jnp.zeros(()), jnp.zeros(())),

@@ -20,7 +20,7 @@ from mast3r_slam_tpu.utils.config import (apply_reference_exact,
                                           load_config)
 
 PROD_MATCH = dict(coarse_subsample=2, final_radius=1, coarse_radius=2,
-                  dilation_schedule=(4, 2))
+                  dilation_schedule=(4, 2), lm_subsample=4)
 
 
 # ---------------------------------------------------------------------------

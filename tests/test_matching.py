@@ -305,11 +305,15 @@ def test_match_coarse_radius_agrees():
 
 
 def test_match_lm_and_occlusion_subsample_options():
-    """lm_subsample=4 / occlusion_subsample=2 are optional gather-row
-    savers (OFF by default: they keep match indices identical but churn
-    the valid mask at depth boundaries — measured IoU 0.65-0.9 vs the
-    production gate, too loose to default).  They must stay mechanically
-    correct: identical indices on valid pixels, similar valid fraction."""
+    """lm_subsample=4 / occlusion_subsample=2 gather-row savers must stay
+    mechanically correct: identical indices on valid pixels, similar
+    valid fraction.  lm_subsample=4 is the production default since round
+    3 (-2.3 ms/frame): on rendered occlusion scenes its exact-pixel
+    accuracy is +0.7% with -6% coverage and an unchanged false-valid rate
+    (tests/test_adversarial.py); the mask churn lives at depth boundaries
+    where the per-pixel 3D occlusion gate still rules.
+    occlusion_subsample=2 stays OFF (it replicates the GATE verdict
+    itself)."""
     from mast3r_slam_tpu.ops import lie_sim3 as sim3
 
     h, w = 48, 64

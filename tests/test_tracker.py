@@ -69,7 +69,7 @@ def test_opt_pose_ray_dist_recovers_pose():
     cfg = trk.TrackerConfig()
     Q = jnp.full((HW, 1), 4.0)
     valid = jnp.ones((HW, 1))
-    T, ok = trk.opt_pose_ray_dist_sim3(
+    T, ok, _ = trk.opt_pose_ray_dist_sim3(
         Xf, Xk, sim3.identity(), Q, valid, cfg
     )
     assert bool(ok)
@@ -86,7 +86,7 @@ def test_opt_pose_calib_recovers_pose():
     uv_k = get_pixel_coords(1, (H, W)).reshape(-1, 2)
     meas_k = jnp.concatenate([uv_k, jnp.log(Xk[:, 2:3])], axis=-1)
     valid_meas = Xk[:, 2:3] > cfg.depth_eps
-    T, ok = trk.opt_pose_calib_sim3(
+    T, ok, _ = trk.opt_pose_calib_sim3(
         Xf, Xk, sim3.identity(), Q, valid, meas_k, valid_meas, K, (H, W), cfg
     )
     assert bool(ok)
@@ -174,9 +174,9 @@ def test_opt_pose_ray_closed_form_matches_elementwise():
 
     cfg_j = trk.TrackerConfig(joint_ray_huber=True)
     cfg_e = trk.TrackerConfig(joint_ray_huber=False)
-    T_j, ok_j = trk.opt_pose_ray_dist_sim3(
+    T_j, ok_j, _ = trk.opt_pose_ray_dist_sim3(
         Xf, Xk, sim3.identity(), Q, valid, cfg_j)
-    T_e, ok_e = trk.opt_pose_ray_dist_sim3(
+    T_e, ok_e, _ = trk.opt_pose_ray_dist_sim3(
         Xf, Xk, sim3.identity(), Q, valid, cfg_e)
     assert bool(ok_j) and bool(ok_e)
     np.testing.assert_allclose(np.asarray(T_j), np.asarray(T_e), atol=2e-5)
@@ -189,9 +189,9 @@ def test_opt_pose_ray_closed_form_matches_elementwise():
     Xf_noisy = np.array(Xf)
     Xf_noisy[mask] += rng.standard_normal((mask.sum(), 3)) * 1.0
     Xf_noisy = jnp.asarray(Xf_noisy)
-    T_j, ok_j = trk.opt_pose_ray_dist_sim3(
+    T_j, ok_j, _ = trk.opt_pose_ray_dist_sim3(
         Xf_noisy, Xk, sim3.identity(), Q, valid, cfg_j)
-    T_e, ok_e = trk.opt_pose_ray_dist_sim3(
+    T_e, ok_e, _ = trk.opt_pose_ray_dist_sim3(
         Xf_noisy, Xk, sim3.identity(), Q, valid, cfg_e)
     assert bool(ok_j) and bool(ok_e)
     # gross outliers downweighted differently (norm vs per-component huber):
@@ -267,10 +267,10 @@ def test_gn_pallas_matches_closed_form():
 
     # full solve equivalence (pallas default on this CPU run -> interpret)
     os.environ["MAST3R_GN_PALLAS"] = "1"
-    T_p, ok_p = trk.opt_pose_ray_dist_sim3(
+    T_p, ok_p, _ = trk.opt_pose_ray_dist_sim3(
         Xf, Xk, sim3.identity(), Q, valid, cfg)
     os.environ["MAST3R_GN_PALLAS"] = "0"
-    T_x, ok_x = trk.opt_pose_ray_dist_sim3(
+    T_x, ok_x, _ = trk.opt_pose_ray_dist_sim3(
         Xf, Xk, sim3.identity(), Q, valid, cfg)
     os.environ.pop("MAST3R_GN_PALLAS", None)
     assert bool(ok_p) and bool(ok_x)
