@@ -232,22 +232,35 @@ def main():
                          "kf_add_factors(sym decode+match, 1 edge)",
                          lambda c: c[0][0, 0, 0])
 
-    # production consecutive-edge path (local_opt.reuse_track_matches):
-    # the tracker's direction is reused, so a keyframe round completes the
-    # edge with ONE asymmetric decode+match (global_opt.py
-    # _add_consecutive_reused); the full symmetric cost above applies only
-    # to retrieval-proposed (loop-closure) edges
-    def kf_edge_step(params, carry):
-        fi, fj = carry
-        outs = engine._match_asymmetric_impl(params, fi, pos_k, fj, pos_k,
-                                             idx0)
-        consume = sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
-        fi = fi + 1e-12 * consume
-        return (fi, fj)
+    # production consecutive-edge path (local_opt.reuse_track_matches +
+    # reuse_warp): the tracker's direction is reused AND the completing
+    # i->j direction is matched DECODE-FREE from canonical pointmaps +
+    # the tracker's q8 descriptor tables under the solved pose
+    # (global_opt._add_consecutive_reused pose-warp branch) — a keyframe
+    # round costs one matcher, no second decode.  The symmetric cost
+    # above applies only to retrieval (loop-closure) edges.
+    from mast3r_slam_tpu.ops import lie_sim3 as _sim3
+    from mast3r_slam_tpu.ops import matching as _matching
 
-    kfedge_ms = timed_chain(kf_edge_step, (feat_k, feat_k + 0.01),
-                            "kf_edge(asym decode+match, reused direction)",
-                            lambda c: c[0][0, 0, 0])
+    kr = jax.random.split(key, 4)
+    Xi_w = jax.random.normal(kr[0], (1, h, w, 3)) + jnp.asarray([0, 0, 3.0])
+    T_sm = _sim3.exp(jnp.asarray([0.02, -0.01, 0.01, 0.01, -0.01, 0.02, 0.0]))
+    Xj_w = _sim3.act(T_sm, Xi_w.reshape(1, -1, 3)).reshape(1, h, w, 3)
+    D8i = jax.random.randint(kr[1], (1, h, w, 24), -127, 128, jnp.int8)
+    D8j = jax.random.randint(kr[2], (1, h, w, 24), -127, 128, jnp.int8)
+
+    def kf_edge_step(params, carry):
+        X11, X21, D11, D21 = carry
+        idx, valid = _matching.match(X11, X21, D11, D21,
+                                     cfg=engine.match_cfg)
+        consume = (jnp.sum(idx) + jnp.sum(valid.astype(jnp.int32))
+                   ).astype(jnp.float32)
+        return (X11 + 1e-12 * consume, X21,
+                D11 + (jnp.sum(idx) % 2).astype(jnp.int8), D21)
+
+    kfedge_ms = timed_chain(kf_edge_step, (Xi_w, Xj_w, D8i, D8j),
+                            "kf_edge(pose-warped match, decode-free)",
+                            lambda c: c[0][0, 0, 0, 0])
 
     # backend BA: 16 keyframes, 32 edges two-way (64 rows), full 10 GN
     # iterations at production resolution (the STATUS operating point)

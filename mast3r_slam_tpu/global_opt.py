@@ -271,6 +271,8 @@ class FactorGraph:
         )
         self.cfg = ba.BAConfig.from_config(cfg)
         self.local_cfg = cfg["local_opt"]
+        # decode-free pose-warped consecutive edge (_add_consecutive_reused)
+        self.reuse_warp = bool(self.local_cfg.get("reuse_warp", True))
         self.max_edges = int(self.local_cfg.get("max_edges", 256))
         self.min_match_frac = float(self.local_cfg["min_match_frac"])
         self.hw = hw
@@ -447,14 +449,43 @@ class FactorGraph:
 
     def _add_consecutive_reused(self, arena: KeyframeArena, i: int, j: int,
                                 reuse) -> bool:
-        """Write the consecutive edge (i, j) from one fresh asymmetric
-        i-direction match + the tracker's reused j-direction."""
-        kw = {} if self.params is None else {"params": self.params}
-        (idx_i2j, vm_j, _Xff, _Cff, Qii, _Xkf, _Ckf, Qji) = \
-            self.engine.match_asymmetric(
-                arena.feat[i][None], arena.pos[i][None],
-                arena.feat[j][None], arena.pos[j][None], **kw,
-            )
+        """Write the consecutive edge (i, j) from the tracker's reused
+        j-direction + an i-direction match that is either pose-warped
+        (decode-free; default) or freshly decoded.
+
+        Pose-warped path (local_opt.reuse_warp): the i->j direction
+        matches keyframe i's CANONICAL pointmap (the fused map BA consumes
+        anyway) against keyframe j's canonical points transformed by the
+        solved relative pose, with the q8 descriptor tables the tracker's
+        decode already produced — skipping the second asymmetric decode
+        entirely (~11 ms/keyframe on v5e).  Descriptor pairing is
+        head2(i) vs head1(j) instead of head1(i) vs head2(j) — the
+        matching space is shared across the two heads (the reference
+        matches head1 vs head2 descriptors, mast3r_utils.py:162-168), so
+        the pairing is symmetric.  Disabled under reference_exact."""
+        d8f = reuse.get("desc8_frame")
+        d8k = reuse.get("desc8_kf")
+        if self.reuse_warp and d8f is not None \
+                and hasattr(self.engine, "match_arrays"):
+            from .ops import lie_sim3 as sim3
+
+            h, w = arena.img_hw
+            f = d8f.shape[-1]
+            X11 = arena.X[i].reshape(1, h, w, 3)
+            T_ij = sim3.rel(arena.T_WC[i], arena.T_WC[j])
+            X21 = sim3.act(T_ij, arena.X[j]).reshape(1, h, w, 3)
+            D11 = d8k.reshape(1, h, w, f)   # kf i's descs (tracker view2)
+            D21 = d8f.reshape(1, h, w, f)   # kf j's descs (tracker view1)
+            idx_i2j, vm_j = self.engine.match_arrays(X11, X21, D11, D21)
+            # desc confidences from the same (j, i) decode, sides swapped
+            Qii, Qji = reuse["Qij"], reuse["Qjj"]
+        else:
+            kw = {} if self.params is None else {"params": self.params}
+            (idx_i2j, vm_j, _Xff, _Cff, Qii, _Xkf, _Ckf, Qji) = \
+                self.engine.match_asymmetric(
+                    arena.feat[i][None], arena.pos[i][None],
+                    arena.feat[j][None], arena.pos[j][None], **kw,
+                )
         idx_j2i = reuse["idx_j2i"]
         vm_i = reuse["valid_i"]
         Qjj = reuse["Qjj"]

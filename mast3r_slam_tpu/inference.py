@@ -210,6 +210,56 @@ class InferenceEngine:
             flat3(Xji), flat1(Cji), flat1(Qji),
         )
 
+    def _match_asymmetric_desc_impl(self, params, frame_feat, frame_pos,
+                                    kf_feat, kf_pos, idx_i2j_init):
+        """_match_asymmetric_impl + the q8 descriptor tables as extra
+        outputs (flattened (b, hw, f) int8).  Quantization moves OUTSIDE
+        matching.match (which takes the int8 arrays via its pre-quantized
+        bypass — bit-identical), so the export aliases buffers the matcher
+        materializes anyway.  The tracker ships them in its reuse bundle;
+        the pose-warped consecutive edge (global_opt) re-matches the
+        reverse direction from canonical pointmaps + these descriptors
+        with NO second decode."""
+        (Xii, Cii, Dii, Qii), (Xji, Cji, Dji, Qji) = self._decode_head(
+            params, frame_feat, frame_pos, kf_feat, kf_pos
+        )
+        b = Xii.shape[0]
+        if self.match_cfg.desc_bits == 8 and self.match_cfg.radius > 0:
+            D8f, D8k = matching._q8_pair(
+                Dii, Dji.reshape(b, -1, Dji.shape[-1]),
+                self.match_cfg.desc_prenorm,
+            )
+            Dii_m, Dji_m = D8f, D8k.reshape(Dji.shape)
+            desc8 = (D8f.reshape(b, -1, D8f.shape[-1]), D8k)
+        else:
+            Dii_m, Dji_m = Dii, Dji
+            desc8 = (None, None)
+        idx_i2j, valid_match_j = matching.match(
+            Xii, Xji, Dii_m, Dji_m, idx_1_to_2_init=idx_i2j_init,
+            cfg=self.match_cfg,
+        )
+        flat3 = lambda A: A.reshape(b, -1, A.shape[-1])
+        flat1 = lambda A: A.reshape(b, -1, 1)
+        return (
+            idx_i2j, valid_match_j,
+            flat3(Xii), flat1(Cii), flat1(Qii),
+            flat3(Xji), flat1(Cji), flat1(Qji),
+            desc8[0], desc8[1],
+        )
+
+    def match_arrays(self, X11, X21, D11, D21):
+        """Dense match on given pointmap/descriptor images — the decode-
+        free entry for the pose-warped consecutive edge (global_opt):
+        X11/X21 (b,h,w,3), D11/D21 (b,h,w,f) f32 or pre-quantized int8.
+        Returns (idx_1_to_2 (b,hw), valid (b,hw,1))."""
+        if not hasattr(self, "_match_arrays_jit"):
+            import functools as _ft
+
+            self._match_arrays_jit = jax.jit(
+                _ft.partial(matching.match, cfg=self.match_cfg)
+            )
+        return self._match_arrays_jit(X11, X21, D11, D21)
+
     def decode_symmetric_batch(self, feat_i, pos_i, feat_j, pos_j):
         """Both directions of E edges in one 2E-batch decode
         (replaces the reference per-edge loop, mast3r_utils.py:113-147).

@@ -608,7 +608,13 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
 
     if cfg.radius > 0:
         D21_flat = D21.reshape(b, h * w, -1)
-        if cfg.desc_bits == 8:
+        if jnp.issubdtype(D11.dtype, jnp.integer):
+            # pre-quantized int8 descriptors (the engine exports its q8
+            # tables for the pose-warped consecutive edge — reusing them
+            # keeps that path decode-free AND bit-identical to quantizing
+            # here)
+            D11_r, D21_r = D11, D21_flat
+        elif cfg.desc_bits == 8:
             D11_r, D21_r = _q8_pair(D11, D21_flat, cfg.desc_prenorm)
         else:
             D11_r = D11.astype(jnp.bfloat16)

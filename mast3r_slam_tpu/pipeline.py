@@ -369,19 +369,23 @@ class SLAMSystem:
                 info["new_kf"] = True
                 n = int(self.arena.n_size)
                 if self._reuse_matches and reuse is not None and n >= 2:
-                    idx_f2k, vm, Qff, Qkf = reuse
+                    idx_f2k, vm, Qff, Qkf, d8f, d8k = reuse
                     if self._bdev is not None:
-                        idx_f2k, vm, Qff, Qkf = jax.device_put(
-                            (idx_f2k, vm, Qff, Qkf), self._bdev)
+                        idx_f2k, vm, Qff, Qkf, d8f, d8k = jax.device_put(
+                            (idx_f2k, vm, Qff, Qkf, d8f, d8k), self._bdev)
                     with self._lock:
                         # tracker direction == the j->i direction of edge
                         # (i=n-2, j=n-1): Qff is the new keyframe's self
                         # conf (Qjj), Qkf the old keyframe's cross conf
-                        # (Qij) — see global_opt.add_factors(reuse=...)
+                        # (Qij) — see global_opt.add_factors(reuse=...).
+                        # desc8_*: the tracker decode's q8 descriptor
+                        # tables, enabling the decode-free pose-warped
+                        # i->j direction (global_opt).
                         self._edge_reuse = {
                             "pair": (n - 2, n - 1),
                             "idx_j2i": idx_f2k, "valid_i": vm,
                             "Qjj": Qff, "Qij": Qkf,
+                            "desc8_frame": d8f, "desc8_kf": d8k,
                         }
                 self._queue_backend(n - 1)
             return info

@@ -436,6 +436,10 @@ class TrackResult(NamedTuple):
     # (the while_loop exits at convergence like the reference's host-side
     # break, tracker.py:166; the bench pins max_iters as worst case —
     # this field lets the pipeline measure the real cadence)
+    desc8_frame: object         # (1, hw, f) int8 q8 descriptors or None
+    desc8_kf: object            # (1, hw, f) int8 q8 descriptors or None
+    # (exported by the desc-impl engines for the decode-free pose-warped
+    # consecutive edge; None for engines without descriptors)
 
 
 def track_step(engine_match_asym, frame: Frame, keyframe: Frame, idx_init,
@@ -447,13 +451,17 @@ def track_step(engine_match_asym, frame: Frame, keyframe: Frame, idx_init,
     h, w = frame.img.shape[0], frame.img.shape[1]
     hw = h * w
 
-    (idx_f2k_b, valid_match_k_b, Xff, Cff, Qff, Xkf, Ckf, Qkf) = (
-        engine_match_asym(
-            frame.feat[None], frame.pos[None],
-            keyframe.feat[None], keyframe.pos[None],
-            idx_init,
-        )
+    outs = engine_match_asym(
+        frame.feat[None], frame.pos[None],
+        keyframe.feat[None], keyframe.pos[None],
+        idx_init,
     )
+    if len(outs) == 10:  # desc-exporting impl (q8 tables for edge reuse)
+        (idx_f2k_b, valid_match_k_b, Xff, Cff, Qff, Xkf, Ckf, Qkf,
+         desc8_f, desc8_k) = outs
+    else:
+        (idx_f2k_b, valid_match_k_b, Xff, Cff, Qff, Xkf, Ckf, Qkf) = outs
+        desc8_f = desc8_k = None
     if os.environ.get("MAST3R_TRACK_BARRIER", "1") != "0":
         # Semantics-free scheduling fence: without it XLA fuses/schedules
         # the GN+fusion section into the decode+match section and the
@@ -572,6 +580,8 @@ def track_step(engine_match_asym, frame: Frame, keyframe: Frame, idx_init,
         Qff=Qff[None],
         Qkf=Qkf[None],
         gn_iters=gn_iters,
+        desc8_frame=desc8_f,
+        desc8_kf=desc8_k,
     )
 
 
@@ -597,11 +607,14 @@ class FrameTracker:
             # (decode+match+GN+fusion) traces into one XLA computation;
             # params passed as an argument so they are not baked into the
             # executable.
+            # prefer the desc-exporting impl (q8 tables ride the reuse
+            # bundle for the decode-free pose-warped consecutive edge)
+            impl = getattr(engine, "_match_asymmetric_desc_impl",
+                           engine._match_asymmetric_impl)
+
             def step_fn(params, frame, keyframe, idx_init, K):
                 def matcher(f1, p1, f2, p2, idx):
-                    return engine._match_asymmetric_impl(
-                        params, f1, p1, f2, p2, idx
-                    )
+                    return impl(params, f1, p1, f2, p2, idx)
                 return track_step(matcher, frame, keyframe, idx_init, K, cfg)
 
             jitted = jax.jit(step_fn)
@@ -647,5 +660,6 @@ class FrameTracker:
         new_kf = float(res.new_kf_metric) < self.cfg.match_frac_thresh
         if new_kf:
             self.reset_idx_f2k()
-        reuse = (res.idx_f2k, res.valid_match, res.Qff, res.Qkf)
+        reuse = (res.idx_f2k, res.valid_match, res.Qff, res.Qkf,
+                 res.desc8_frame, res.desc8_kf)
         return new_kf, res.frame, res.keyframe, False, reuse

@@ -93,6 +93,7 @@ REFERENCE_EXACT_OVERRIDES = {
         # symmetric decode+match (global_opt.py:32-101)
         "points_subsample": 1,
         "reuse_track_matches": False,
+        "reuse_warp": False,
     },
 }
 

@@ -40,6 +40,7 @@ def test_reference_exact_restores_exact_path(tmp_path):
     assert ex["tracking"]["point_subsample"] == 1
     assert ex["local_opt"]["points_subsample"] == 1
     assert ex["local_opt"]["reuse_track_matches"] is False
+    assert ex["local_opt"]["reuse_warp"] is False
 
     # the toggle works from YAML too (load_config applies it)
     p = tmp_path / "exact.yaml"
@@ -179,3 +180,111 @@ def test_pipeline_adversarial_scene_production_vs_exact(tmp_path, scene):
     ate_e = _ate(tmp_path, "exact", seq, exact)
     assert ate_e < 0.08, ate_e
     assert ate_p < 1.5 * ate_e + 0.005, (ate_p, ate_e)
+
+
+# ---------------------------------------------------------------------------
+# Pose-warped consecutive edge (decode-free completion, global_opt)
+# ---------------------------------------------------------------------------
+
+
+def test_match_prequantized_bypass_identical():
+    """matching.match on pre-quantized int8 descriptors must equal the
+    internal q8 path bitwise (the engine quantizes once, exports the
+    tables, and the warped edge reuses them)."""
+    from mast3r_slam_tpu.ops.matching import _q8_pair
+
+    X11, X21, D11, D21, _, _ = _two_view_match_inputs(
+        "cliff", xi=[0.05, -0.03, 0.02, 0.03, -0.02, 0.03, 0.0])
+    cfg = matching.MatchingConfig(**PROD_MATCH)
+    idx_a, v_a = matching.match(X11, X21, D11, D21, cfg=cfg)
+    b, h, w, f = D11.shape
+    D8_1, D8_2 = _q8_pair(D11, D21.reshape(b, -1, f))
+    idx_b, v_b = matching.match(X11, X21, D8_1,
+                                D8_2.reshape(b, h, w, f), cfg=cfg)
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+    np.testing.assert_array_equal(np.asarray(v_a), np.asarray(v_b))
+
+
+def test_pose_warped_consecutive_edge():
+    """global_opt's decode-free pose-warped i->j completion: with
+    canonical pointmaps + the (j, i) decode's descriptor tables + the
+    solved pose, the edge's match indices must localize the true
+    correspondences like a fresh match would (rendered occlusion scene),
+    and reuse_warp=False must fall back to engine.match_asymmetric."""
+    from mast3r_slam_tpu.frame import make_arena
+    from mast3r_slam_tpu.global_opt import FactorGraph
+    from mast3r_slam_tpu.ops.matching import _q8_pair
+    from mast3r_slam_tpu.testing import make_K, render_view
+
+    h, w = 64, 96
+    hw = h * w
+    K = make_K(h, w)
+    T0 = sim3.identity()
+    T1 = sim3.exp(jnp.asarray([0.05, -0.03, 0.02, 0.03, -0.02, 0.03, 0.0],
+                              jnp.float32))
+    _, Xc0, Xw0 = render_view(T0, h, w, K, "occluder")
+    _, Xc1, Xw1 = render_view(T1, h, w, K, "occluder")
+    D0 = world_descriptors(Xw0)
+    D1 = world_descriptors(Xw1)
+    f = D0.shape[-1]
+
+    class StubEngine:
+        """match_arrays like InferenceEngine; fresh decode marks itself."""
+
+        match_cfg = matching.MatchingConfig(**PROD_MATCH)
+        fresh_calls = 0
+
+        def match_arrays(self, X11, X21, D11, D21):
+            return matching.match(X11, X21, D11, D21, cfg=self.match_cfg)
+
+        def match_asymmetric(self, *a, **kw):
+            StubEngine.fresh_calls += 1
+            idx = jnp.zeros((1, hw), jnp.int32)
+            z = jnp.zeros((1, hw, 1))
+            return (idx, jnp.zeros((1, hw, 1), bool), z, z, z, z, z, z)
+
+    cfg = load_config("config/eval_no_calib.yaml")
+    arena = make_arena(4, h, w, 16, 32)
+    arena = arena.replace(
+        X=arena.X.at[0].set(jnp.asarray(Xc0)).at[1].set(jnp.asarray(Xc1)),
+        T_WC=arena.T_WC.at[0].set(T0).at[1].set(T1),
+        n_size=jnp.asarray(2, jnp.int32),
+    )
+    D8_1, D8_0 = _q8_pair(jnp.asarray(D1[None]), jnp.asarray(D0[None]))
+    ones = jnp.ones((1, hw, 1), jnp.float32) * 4.0
+    reuse = {
+        "pair": (0, 1),
+        "idx_j2i": jnp.zeros((1, hw), jnp.int32),
+        "valid_i": jnp.ones((1, hw, 1), bool),
+        "Qjj": ones, "Qij": ones,
+        "desc8_frame": D8_1, "desc8_kf": D8_0,
+    }
+
+    g = FactorGraph(StubEngine(), hw, cfg)
+    assert g.reuse_warp
+    assert g._add_consecutive_reused(arena, 0, 1, reuse)
+    assert StubEngine.fresh_calls == 0  # no decode happened
+    idx = np.asarray(g.idx_ii2jj[0])
+    vm = np.asarray(g.valid_match_j[0])
+
+    # ground truth: project view-1 points into view 0
+    uvz = (K @ np.asarray(sim3.act(sim3.rel(T0, T1),
+                                   jnp.asarray(Xc1))).T).T
+    u = np.round(uvz[:, 0] / uvz[:, 2]).astype(np.int64)
+    v = np.round(uvz[:, 1] / uvz[:, 2]).astype(np.int64)
+    inside = (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    visible = inside & (np.linalg.norm(
+        Xw0[np.where(inside, v * w + u, 0)] - Xw1, axis=-1) < 0.1)
+    sel = visible & vm
+    assert sel.mean() > 0.5
+    du = np.abs(idx % w - np.where(inside, u, 0))
+    dv = np.abs(idx // w - np.where(inside, v, 0))
+    acc = float(np.mean(((du <= 1) & (dv <= 1))[sel]))
+    assert acc > 0.95, acc
+
+    # reuse_warp off -> fresh decode fallback
+    cfg2 = load_config("config/eval_no_calib.yaml")
+    cfg2["local_opt"]["reuse_warp"] = False
+    g2 = FactorGraph(StubEngine(), hw, cfg2)
+    g2._add_consecutive_reused(arena, 0, 1, reuse)
+    assert StubEngine.fresh_calls == 1
