@@ -19,7 +19,13 @@ formulation (per-offset async copies into lane-sliced destinations) was
 tried first and is unbuildable on this toolchain: Mosaic has no
 sub-128-lane DMA/concat ("result/input offset mismatch on non-concat
 dimension"), and the window-DMA kernel crashes the remote compile helper
-outright.  The MXU placement formulation compiles, is exact, and wins.
+outright.  The MXU placement formulation compiles and is exact, but
+MEASURED it does not beat XLA's two-level roll build (stage B 5.0 vs
+2.8 ms — n_blk window re-reads + K serialized narrow matmuls; stage C
+ties): the roll build is a genuine local optimum on this toolchain.
+This module is kept as the measured-rejected kernel + the equivalence
+machinery; production matching keeps the roll build
+(scripts/bench_pack.py records the A/B).
 
 Semantics note: jnp.roll wraps at the ends; the Pallas build reads zero
 padding there instead.  The two differ only in packed rows whose probe
@@ -140,24 +146,10 @@ def pack_rows_roll(flat, offsets: tuple):
     )
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
-
-
 def pack_rows(flat, offsets, force=None):
-    """Dispatch: Pallas MXU single-pass build on TPU for int8 tables when
-    the shape allows, roll-based build otherwise.
-    ``force``: None | "mxu" | "roll"."""
-    b, hw, F = flat.shape
-    offsets = tuple(int(s) for s in offsets)
-    row_tile = min(4096 if len(offsets) * F <= 384 else 2048, hw)
-    ok = hw % row_tile == 0 and flat.dtype == jnp.int8
-    use_mxu = (force == "mxu") or (force is None and ok and _on_tpu())
-    if use_mxu:
-        if not ok:
-            raise ValueError("pack_rows: shape unsupported for mxu build")
+    """Dispatch: roll-based build by default (it measured FASTER than the
+    Pallas MXU build — see module docstring); ``force="mxu"`` selects the
+    kernel for experiments."""
+    if force == "mxu":
         return pack_rows_mxu(flat, offsets)
     return pack_rows_roll(flat, offsets)

@@ -57,7 +57,9 @@ def main():
         d = pathlib.Path(tempfile.mkdtemp())
         evaluate.save_traj(d, "t.txt", seq.timestamps, s.arena)
         seq.write_gt(d / "gt.txt")
-        return evaluate.ate_rmse(d / "gt.txt", d / "t.txt", max_diff=0.05)
+        gn = s.tracker.gn_iters_total / max(s.tracker.gn_frames, 1)
+        return evaluate.ate_rmse(d / "gt.txt", d / "t.txt",
+                                 max_diff=0.05), gn
 
     # per-scene motion scale: the smooth surface tracks so well at 0.45
     # that no second keyframe is ever created (nothing to ATE-score)
@@ -75,9 +77,9 @@ def main():
             else:
                 for (a, b), v in mods.items():
                     cfg[a][b] = v
-            row[name] = run(cfg, seq)
-            print(f"  {scene:9s} {name:24s} ATE {row[name]:.4f}",
-                  file=sys.stderr, flush=True)
+            row[name], gn = run(cfg, seq)
+            print(f"  {scene:9s} {name:24s} ATE {row[name]:.4f} "
+                  f"gn_iters {gn:.1f}", file=sys.stderr, flush=True)
         rows.append((scene, row))
 
     print(f"\n| scene | " + " | ".join(variants) + " |")
