@@ -22,7 +22,11 @@ system (the reference's own in-tree anchor: encoder 34.7 img/s on a 4090
 with the encoder 30-50%% of frame time, final_tensorrt_test.py:261-297
 => ~10-17 FPS whole-pipeline).
 
-Env knobs: BENCH_SMALL=1 (tiny model smoke), BENCH_CHAIN (default 8).
+Env knobs: BENCH_SMALL=1 (tiny model smoke), BENCH_CHAIN (default 16),
+BENCH_CPU=1 (CPU backend), BENCH_RATES (path to measured rates json,
+default logs/rates.json), BENCH_KF_RATE (assumed fallback, default 0.2),
+BENCH_GN_ITERS (override the measured GN cadence; 50 = worst-case cap),
+BENCH_BA_UNCACHED=1 (cold-cache BA round).
 """
 
 import json
