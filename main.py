@@ -303,6 +303,12 @@ def main():
             system.tracker.gn_iters_total
             / max(system.tracker.gn_frames, 1)
         ),
+        # provenance: which run produced these weights (bench.py logs it
+        # so a rates file from a mismatched config is auditable)
+        "config": str(args.config),
+        "dataset": str(args.dataset),
+        "reference_exact": bool(args.reference_exact
+                                or config.get("reference_exact", False)),
     }
     print(f"rates: {rates}")
     import json

@@ -466,17 +466,13 @@ class FactorGraph:
         d8f = reuse.get("desc8_frame")
         d8k = reuse.get("desc8_kf")
         if self.reuse_warp and d8f is not None \
-                and hasattr(self.engine, "match_arrays"):
-            from .ops import lie_sim3 as sim3
-
-            h, w = arena.img_hw
-            f = d8f.shape[-1]
-            X11 = arena.X[i].reshape(1, h, w, 3)
-            T_ij = sim3.rel(arena.T_WC[i], arena.T_WC[j])
-            X21 = sim3.act(T_ij, arena.X[j]).reshape(1, h, w, 3)
-            D11 = d8k.reshape(1, h, w, f)   # kf i's descs (tracker view2)
-            D21 = d8f.reshape(1, h, w, f)   # kf j's descs (tracker view1)
-            idx_i2j, vm_j = self.engine.match_arrays(X11, X21, D11, D21)
+                and hasattr(self.engine, "match_arrays_warp"):
+            # rel/act/reshape/slicing run inside the engine's warp jit
+            # (eager ops on the relayed TPU are remote compiles);
+            # d8k = kf i's descs (tracker view2), d8f = kf j's (view1)
+            idx_i2j, vm_j = self.engine.match_arrays_warp(
+                arena.X, arena.T_WC, i, j, d8k, d8f, arena.img_hw,
+            )
             # desc confidences from the same (j, i) decode, sides swapped
             Qii, Qji = reuse["Qij"], reuse["Qjj"]
         else:

@@ -247,18 +247,38 @@ class InferenceEngine:
             desc8[0], desc8[1],
         )
 
-    def match_arrays(self, X11, X21, D11, D21):
-        """Dense match on given pointmap/descriptor images — the decode-
-        free entry for the pose-warped consecutive edge (global_opt):
-        X11/X21 (b,h,w,3), D11/D21 (b,h,w,f) f32 or pre-quantized int8.
-        Returns (idx_1_to_2 (b,hw), valid (b,hw,1))."""
-        if not hasattr(self, "_match_arrays_jit"):
+    def match_arrays_warp(self, X_arena, T_arena, i, j, D11_flat, D21_flat,
+                          img_hw):
+        """Decode-free pose-warped dense match for the consecutive edge
+        (global_opt): keyframe i's canonical pointmap vs keyframe j's
+        canonical points under the solved relative pose, with
+        pre-quantized int8 descriptors.  The keyframe row slicing, Sim(3)
+        rel/act and reshapes all run INSIDE one jit (eager ops on the
+        relayed TPU are remote compiles — CLAUDE.md), with i/j as traced
+        scalars so successive keyframe pairs reuse the executable.
+        Returns (idx_i_to_j (1, hw), valid (1, hw, 1))."""
+        h, w = img_hw
+        if not hasattr(self, "_match_warp_jit"):
             import functools as _ft
 
-            self._match_arrays_jit = jax.jit(
-                _ft.partial(matching.match, cfg=self.match_cfg)
-            )
-        return self._match_arrays_jit(X11, X21, D11, D21)
+            from .ops import lie_sim3 as sim3
+
+            @_ft.partial(jax.jit, static_argnames=("h", "w"))
+            def _warp(X_arena, T_arena, i, j, D11, D21, h, w):
+                f = D11.shape[-1]
+                X11 = X_arena[i].reshape(1, h, w, 3)
+                T_ij = sim3.rel(T_arena[i], T_arena[j])
+                X21 = sim3.act(T_ij, X_arena[j]).reshape(1, h, w, 3)
+                return matching.match(
+                    X11, X21, D11.reshape(1, h, w, f),
+                    D21.reshape(1, h, w, f), cfg=self.match_cfg,
+                )
+
+            self._match_warp_jit = _warp
+        return self._match_warp_jit(
+            X_arena, T_arena, jnp.asarray(i, jnp.int32),
+            jnp.asarray(j, jnp.int32), D11_flat, D21_flat, h=h, w=w,
+        )
 
     def decode_symmetric_batch(self, feat_i, pos_i, feat_j, pos_j):
         """Both directions of E edges in one 2E-batch decode

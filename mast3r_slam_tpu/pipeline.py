@@ -673,14 +673,16 @@ class SLAMSystem:
         g.Q_jj2ii = g._put(jnp.asarray(d["graph_Qi"]))
         if getattr(g, "cache_pre", False):
             if g._pre_fresh.shape[0] != g.max_edges:  # edge store grew
-                g._Np = g.pre_Xi_f.shape[-1]
-                g._alloc_pre(g.max_edges)
                 g._pre_fresh = np.zeros((g.max_edges,), bool)
+            # reallocates the (now possibly resized) pre arrays to zeros
             g.invalidate_cache()
         # restore by NAME (stats_keys) so checkpoints survive stats
-        # schema growth; positional zip for pre-schema snapshots
+        # schema growth; pre-schema snapshots carried exactly these five
+        # keys in sorted order (zipping against sorted(self.stats) would
+        # scramble them once new keys sort in between)
         keys = ([str(k) for k in d["stats_keys"]] if "stats_keys" in d
-                else sorted(self.stats))
+                else ["ba_rounds", "keyframes", "reloc", "skipped",
+                      "tracked"])
         for k, v in zip(keys, d["stats"]):
             if k in self.stats:
                 self.stats[k] = int(v)

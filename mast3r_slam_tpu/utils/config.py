@@ -81,6 +81,7 @@ REFERENCE_EXACT_OVERRIDES = {
         "coarse_radius": 0,
         "dilation_schedule": [],
         "lm_subsample": 0,
+        "lm_table_subsample": 1,
         "occlusion_subsample": 1,
     },
     "tracking": {

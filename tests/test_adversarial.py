@@ -229,13 +229,14 @@ def test_pose_warped_consecutive_edge():
     f = D0.shape[-1]
 
     class StubEngine:
-        """match_arrays like InferenceEngine; fresh decode marks itself."""
+        """match_arrays_warp like InferenceEngine (borrows its impl);
+        fresh decode marks itself."""
 
         match_cfg = matching.MatchingConfig(**PROD_MATCH)
         fresh_calls = 0
 
-        def match_arrays(self, X11, X21, D11, D21):
-            return matching.match(X11, X21, D11, D21, cfg=self.match_cfg)
+        from mast3r_slam_tpu.inference import InferenceEngine
+        match_arrays_warp = InferenceEngine.match_arrays_warp
 
         def match_asymmetric(self, *a, **kw):
             StubEngine.fresh_calls += 1

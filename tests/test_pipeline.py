@@ -205,3 +205,34 @@ def test_arena_grows_past_capacity(seq):
     assert err == 0.0, err
     err_x = float(jnp.abs(small.arena.X[:n_kf] - big.arena.X[:n_kf]).max())
     assert err_x == 0.0, err_x
+
+
+def test_load_state_legacy_stats_layout(tmp_path, seq):
+    """Pre-schema snapshots carried exactly five stats values in their
+    sorted order; loading one must map them by THAT order, not the new
+    sorted order (which interleaves retrieval_edges and would scramble
+    skipped/tracked)."""
+    cfg = load_config("config/eval_no_calib.yaml")
+    cfg["dataset"]["img_size"] = 64
+    from mast3r_slam_tpu.testing import OracleEngine
+
+    engine = OracleEngine(seq)
+    sys_a = SLAMSystem(cfg, engine, (seq.h, seq.w), buffer=32)
+    for i in range(6):
+        sys_a.process_frame(i, seq.images[i])
+    sys_a.save_state(tmp_path / "state.npz")
+
+    # forge the legacy layout: drop stats_keys, keep the five legacy
+    # entries in their historical sorted order with distinctive values
+    d = dict(np.load(tmp_path / "state.npz"))
+    del d["stats_keys"]
+    legacy = {"ba_rounds": 11, "keyframes": 22, "reloc": 33,
+              "skipped": 44, "tracked": 55}
+    d["stats"] = np.asarray([legacy[k] for k in sorted(legacy)], np.int64)
+    np.savez_compressed(tmp_path / "legacy.npz", **d)
+
+    sys_b = SLAMSystem(cfg, OracleEngine(seq), (seq.h, seq.w), buffer=32)
+    sys_b.load_state(tmp_path / "legacy.npz")
+    for k, v in legacy.items():
+        assert sys_b.stats[k] == v, (k, sys_b.stats)
+    assert sys_b.stats["retrieval_edges"] == 0
