@@ -24,7 +24,10 @@ with the encoder 30-50%% of frame time, final_tensorrt_test.py:261-297
 
 Env knobs: BENCH_SMALL=1 (tiny model smoke), BENCH_CHAIN (default 16),
 BENCH_CPU=1 (CPU backend), BENCH_RATES (path to measured rates json,
-default logs/rates.json), BENCH_KF_RATE (assumed fallback, default 0.2),
+default bench_rates.json — the committed artifact of a dedicated
+>=150-frame loop-closure run with retrieval active; files with <100
+frames or a structurally-absent retrieval are refused unless
+BENCH_RATES_FORCE=1), BENCH_KF_RATE (assumed fallback, default 0.2),
 BENCH_GN_ITERS (override the measured GN cadence; 50 = worst-case cap),
 BENCH_BA_UNCACHED=1 (cold-cache BA round).
 """
@@ -107,7 +110,7 @@ def main():
     # overrides (set 50 for the worst-case cap).
     gn_iters = int(os.environ.get("BENCH_GN_ITERS", "0"))
     if not gn_iters:
-        rp = os.environ.get("BENCH_RATES", "logs/rates.json")
+        rp = os.environ.get("BENCH_RATES", "bench_rates.json")
         gn_iters = 50
         if os.path.exists(rp):
             try:
@@ -430,46 +433,152 @@ def main():
     host_ms = (time.time() - t0) / reps * 1e3
     log(f"  create_frame host resize+norm: {host_ms:.1f} ms")
 
-    # protocol weights: measured from a pipeline run when available
-    # (main.py writes logs/rates.json — keyframe + retrieval-edge
-    # cadence, VERDICT r2 weak #7), assumed defaults otherwise
+    # --- retrieval stage (VERDICT r3 next #3) -----------------------------
+    # retrieval_database.update runs once per keyframe round on the
+    # backend (pipeline._process_task).  Device part (prep_features
+    # 768x1024 tokens -> top-300 + 64k-codebook top-5 assign) measured
+    # with the chained methodology; host part (aggregate + packed-IVF
+    # search + add) at an IVF populated to ~300 keyframes measured as
+    # plain wall time (pure numpy, like create_frame).
+    from mast3r_slam_tpu.retrieval.asmk import ASMKKernel, Codebook, IVF
+    from mast3r_slam_tpu.retrieval.model import RetrievalParams, \
+        prep_features
+
+    cb_size = 4096 if small else 65536
+    asmk_dim = 128
+    nfeat = 300
+    n_tok = n_patches
+    rp = RetrievalParams.random(jax.random.PRNGKey(2),
+                                d_in=cfg.enc_embed_dim,
+                                hdims=(cfg.enc_embed_dim, asmk_dim))
+    rng_r = np.random.default_rng(3)
+    cb = Codebook(rng_r.standard_normal((cb_size, asmk_dim))
+                  .astype(np.float32))
+    nfeat_eff = min(nfeat, n_tok)
+
+    def retr_dev_step(params_unused, carry):
+        toks = carry
+        top = prep_features(rp, toks, nfeat_eff,
+                            residual=bool(rp.residual))
+        words = cb._assign(top[0], 5)
+        consume = jnp.sum(top) + jnp.sum(words).astype(jnp.float32)
+        return toks + 1e-12 * consume
+
+    toks0 = jax.random.normal(jax.random.PRNGKey(4),
+                              (1, n_tok, cfg.enc_embed_dim))
+    retr_dev_ms = timed_chain(
+        retr_dev_step, toks0,
+        f"retrieval_device(prep {n_tok}tok + {cb_size}-codebook assign)",
+        lambda c: c[0, 0, 0],
+    )
+
+    # host part at the populated operating point
+    kern = ASMKKernel(cb, binary=True)
+    ivf = IVF(cb_size)
+    n_kf_ivf = 64 if small else 300
+    feats_np = rng_r.standard_normal(
+        (n_kf_ivf + 1, nfeat_eff, asmk_dim)).astype(np.float32)
+    words_np = rng_r.integers(0, cb_size, (n_kf_ivf + 1, nfeat_eff, 5)) \
+        .astype(np.int32)
+    for i in range(n_kf_ivf):
+        ad, wi = kern.aggregate_image(feats_np[i], words_np[i, :, :1])
+        ivf.add(ad, wi, np.full(len(wi), i, np.int64))
+
+    def retr_host_once(i):
+        ad, wi = kern.aggregate_image(feats_np[i], words_np[i])
+        ivf.search_packed(ad, wi, cb.dim, alpha=3.0,
+                          similarity_threshold=0.0)
+        ad1, wi1 = kern.aggregate_image(feats_np[i], words_np[i, :, :1])
+        ivf.add(ad1, wi1, np.full(len(wi1), n_kf_ivf, np.int64))
+
+    retr_host_once(n_kf_ivf)  # warm
+    reps = 10
+    t0 = time.time()
+    for _ in range(reps):
+        retr_host_once(n_kf_ivf)
+    retr_host_ms = (time.time() - t0) / reps * 1e3
+    retrieval_ms = retr_dev_ms + retr_host_ms
+    log(f"  retrieval stage: device {retr_dev_ms:.1f} + host(agg+search+"
+        f"add @ {n_kf_ivf}kf IVF) {retr_host_ms:.1f} = "
+        f"{retrieval_ms:.1f} ms")
+
+    # protocol weights: measured from a DEDICATED pipeline run
+    # (bench_rates.json, committed — produced by scripts/make_rates.py:
+    # a >=150-frame loop-closure clip with the oracle retrieval database
+    # active so the symmetric-edge path really fires), assumed defaults
+    # otherwise.  The rates file is validated before use: a test-fixture
+    # toy run (few frames, retrieval structurally absent) must not
+    # parameterize the headline metric (VERDICT r3 weak #1 / next #2).
     kf_rate = float(os.environ.get("BENCH_KF_RATE", "0.2"))
     retr_rate = 0.0
+    retr_accept_rate = 0.0
     rates_src = "assumed"
-    rates_path = os.environ.get("BENCH_RATES", "logs/rates.json")
+    rates_path = os.environ.get("BENCH_RATES", "bench_rates.json")
+    force_rates = os.environ.get("BENCH_RATES_FORCE") == "1"
     if os.path.exists(rates_path):
-        with open(rates_path) as f:
-            measured = json.load(f)
-        log(f"  protocol rates measured ({rates_path}, "
-            f"{measured.get('frames', '?')} frames, "
-            f"config={measured.get('config', '?')}, "
-            f"dataset={measured.get('dataset', '?')}): "
-            f"kf_rate={measured['kf_rate']:.3f} (assumed {kf_rate}), "
-            f"retrieval_edge_rate={measured['retrieval_edge_rate']:.3f} "
-            f"(assumed 0.0)")
-        if measured.get("reference_exact"):
-            log("  WARNING: rates were measured under reference_exact — "
-                "ignoring them (set BENCH_RATES to a production-config "
-                "rates file)")
-        else:
-            kf_rate = float(measured["kf_rate"])
-            retr_rate = float(measured["retrieval_edge_rate"])
-            rates_src = rates_path
+        try:
+            with open(rates_path) as f:
+                measured = json.load(f)
+            kf_m = float(measured["kf_rate"])
+            # cost-bearing symmetric-edge weight: every retrieval PROPOSAL
+            # pays the symmetric decode+match before the min_match_frac
+            # gate; the accepted-edge rate is reported alongside
+            retr_m = float(measured.get("retrieval_proposal_rate",
+                                        measured["retrieval_edge_rate"]))
+            retr_acc_m = float(measured["retrieval_edge_rate"])
+            frames_m = int(measured.get("frames", 0))
+        except Exception as e:
+            log(f"  WARNING: rates file {rates_path} unreadable/invalid "
+                f"({e!r}) — using assumed rates")
+            measured = None
+        if measured is not None:
+            log(f"  protocol rates measured ({rates_path}, "
+                f"{frames_m} frames, "
+                f"config={measured.get('config', '?')}, "
+                f"dataset={measured.get('dataset', '?')}, "
+                f"retrieval_active="
+                f"{measured.get('retrieval_active', False)}): "
+                f"kf_rate={kf_m:.3f} (assumed {kf_rate}), "
+                f"retrieval_proposal_rate={retr_m:.3f}, "
+                f"accepted_edge_rate={retr_acc_m:.3f}")
+            reject = None
+            if measured.get("reference_exact"):
+                reject = "measured under reference_exact"
+            elif frames_m < 100 and not force_rates:
+                reject = (f"only {frames_m} frames (<100) — looks like a "
+                          f"test-fixture clip, not a protocol run")
+            elif (not measured.get("retrieval_active")
+                  and retr_m == 0.0 and not force_rates):
+                reject = ("retrieval was structurally absent (rate 0.0 is "
+                          "not a measurement)")
+            if reject:
+                log(f"  WARNING: ignoring rates file — {reject}; using "
+                    f"assumed rates (BENCH_RATES_FORCE=1 overrides)")
+            else:
+                kf_rate = kf_m
+                retr_rate = retr_m
+                retr_accept_rate = retr_acc_m
+                rates_src = rates_path
     # host frame prep runs on the prefetch thread overlapping the device
     # frame (main.py prefetch pipeline) -> it only costs wall time if it
-    # exceeds the device frame
-    protocol_ms = max(frame_ms, host_ms) + kf_rate * (kfedge_ms + ba_ms) \
+    # exceeds the device frame.  Every keyframe round pays kf_edge + BA +
+    # one retrieval_database.update; every retrieval PROPOSAL pays the
+    # symmetric decode+match (gating happens after the decode).
+    protocol_ms = max(frame_ms, host_ms) \
+        + kf_rate * (kfedge_ms + ba_ms + retrieval_ms) \
         + retr_rate * sym_ms
     protocol_fps = 1e3 / protocol_ms
     # the assumed-rates composition is always reported alongside, so the
     # measured-rates headline is auditable against the old fixed weights
     kf_assumed = float(os.environ.get("BENCH_KF_RATE", "0.2"))
     protocol_fps_assumed = 1e3 / (
-        max(frame_ms, host_ms) + kf_assumed * (kfedge_ms + ba_ms)
+        max(frame_ms, host_ms)
+        + kf_assumed * (kfedge_ms + ba_ms + retrieval_ms)
     )
     log(f"protocol: max({frame_ms:.1f} enc+track, {host_ms:.1f} host "
         f"prefetch) + {kf_rate:.2f}*({kfedge_ms:.1f} kf_edge + "
-        f"{ba_ms:.1f} ba) + {retr_rate:.2f}*{sym_ms:.1f} sym = "
+        f"{ba_ms:.1f} ba + {retrieval_ms:.1f} retrieval) + "
+        f"{retr_rate:.2f}*{sym_ms:.1f} sym = "
         f"{protocol_ms:.1f} ms -> {protocol_fps:.2f} FPS "
         f"(single-thread eval-protocol semantics, rates {rates_src})")
 
@@ -491,6 +600,20 @@ def main():
             # decode-free match (same as the kf_edge stage), on dev1
             return kf_edge_step(params, carry)
 
+        # frontend chain includes the ENCODER (encode + track per frame,
+        # with data dependencies both ways) so backend dispatch contention
+        # on dev0's host thread is measured against the full frame, not
+        # masked by a max() against the uncontended frame_ms (ADVICE r3)
+        def frame_chain_step(params, carry):
+            frame, keyframe, im = carry
+            feat, pos = model.apply(params, im, method=MASt3R.encode)
+            frame = frame.replace(
+                feat=frame.feat + 1e-12 * jnp.mean(feat).astype(
+                    frame.feat.dtype))
+            frame, keyframe = track_chain_step(params, (frame, keyframe))
+            im = im + 1e-12 * frame.feat[0, 0]
+            return (frame, keyframe, im)
+
         n_bk = max(1, round(N * kf_rate))
 
         def chain(step, n, readback):
@@ -500,11 +623,11 @@ def main():
                 return readback(jax.lax.fori_loop(0, n, body, carry))
             return f
 
-        front_args = (params, (frame0, kf))
+        front_args = (params, (frame0, kf, img))
         back_args = (params1, back1)
 
         def run_pair(nf, nb):
-            f_front = chain(track_chain_step, nf,
+            f_front = chain(frame_chain_step, nf,
                             lambda c: c[0].feat[0, 0])
             f_back = chain(kf_edge_step1, nb, lambda c: c[0][0, 0, 0, 0])
             float(f_front(*front_args)); float(f_back(*back_args))  # warm
@@ -519,13 +642,15 @@ def main():
         # wall-clock would fold into the per-frame number
         wall_1 = run_pair(N, n_bk)
         wall_2 = run_pair(2 * N, 2 * n_bk)
-        # per-frame overlapped cost: N frontend frames + N*kf_rate backend
-        # rounds ran concurrently; add the non-overlapped encode + BA
-        # (BA pose write-back still serializes with tracking in
-        # single-thread eval mode; threaded mode hides it too)
+        # per-frame overlapped cost: N full frontend frames (encode +
+        # track) + N*kf_rate backend rounds ran concurrently; add the
+        # non-overlapped BA (its pose write-back still serializes with
+        # tracking in single-thread eval mode)
         overlap_ms = (wall_2 - wall_1) / N * 1e3
-        p2_ms = max(overlap_ms, frame_ms, host_ms) + kf_rate * ba_ms \
-            + retr_rate * sym_ms
+        # retrieval host work + the sym decode run on the backend
+        # thread/chip too, but count them serially (conservative)
+        p2_ms = max(overlap_ms, frame_ms, host_ms) \
+            + kf_rate * (ba_ms + retrieval_ms) + retr_rate * sym_ms
         protocol_fps_2chip = 1e3 / p2_ms
         log(f"  2chip: overlapped frontend+backend wall {overlap_ms:.1f} "
             f"ms/frame -> protocol {p2_ms:.1f} ms = "
@@ -548,9 +673,11 @@ def main():
             "create_frame_host": round(host_ms, 2),
             "kf_edge_reused": round(kfedge_ms, 2),
             "retrieval_edge_sym": round(sym_ms, 2),
+            "retrieval_ms": round(retrieval_ms, 2),
             "kf_ba_solve": round(ba_ms, 2),
             "kf_rate": kf_rate,
             "retrieval_edge_rate": retr_rate,
+            "retrieval_accept_rate": retr_accept_rate,
             "gn_iters": gn_iters,
             "rates_src": rates_src,
         },

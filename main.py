@@ -71,6 +71,22 @@ def parse_args():
                         "(requires >=2 devices; see pipeline.py)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--gt", default="", help="TUM-format GT for ATE scoring")
+    p.add_argument("--ate-max-diff", type=float, default=0.01,
+                   help="timestamp association window for the built-in ATE "
+                        "(0.01 = evo default; loosen for synthetic clips "
+                        "with sparse keyframe stamps)")
+    p.add_argument("--oracle-retrieval", action="store_true",
+                   help="with --oracle: build an oracle ASMK retrieval "
+                        "database from the clip's own view signatures "
+                        "(testing.make_oracle_retrieval) so loop-closure "
+                        "proposals and the symmetric edge path actually "
+                        "fire — required for measuring a real "
+                        "retrieval_edge_rate")
+    p.add_argument("--rates-out", default="logs/rates.json",
+                   help="where to persist the measured protocol rates "
+                        "(kf_rate / retrieval rates / mean_gn_iters); "
+                        "bench.py consumes the committed bench_rates.json "
+                        "produced by a dedicated run (see BENCH_RATES)")
     p.add_argument("--profile", action="store_true")
     p.add_argument("--profile-blocks", action="store_true",
                    help="measure the per-block network breakdown "
@@ -184,6 +200,7 @@ def main():
         sys.exit("[error] use_calib=True but no calibration available")
     K = dataset.camera_intrinsics.K_frame if use_calib else None
 
+    retrieval = None
     if args.oracle:
         from mast3r_slam_tpu.testing import OracleEngine, SyntheticSequence
 
@@ -198,6 +215,12 @@ def main():
         config["dataset"]["img_size"] = max(h, w)
         engine = OracleEngine(seq)
         K = seq.K if use_calib else None
+        if args.oracle_retrieval:
+            from mast3r_slam_tpu.testing import make_oracle_retrieval
+
+            retrieval = make_oracle_retrieval(seq, engine)
+            print("oracle retrieval database on (loop-closure proposals "
+                  "from the clip's own view signatures)")
     else:
         model, params = load_model_and_params(args, jax)
         mesh = None
@@ -219,7 +242,6 @@ def main():
             int8_local_head=args.int8_local_head,
             mesh=mesh,
         )
-    retrieval = None
     if not args.oracle:
         rc = pathlib.Path(args.retrieval_checkpoint)
         cb = pathlib.Path(args.codebook)
@@ -297,8 +319,15 @@ def main():
     rates = {
         "frames": n,
         "kf_rate": system.stats["keyframes"] / max(n, 1),
+        # retrieval_edge_rate: ACCEPTED non-consecutive edges per frame
+        # (graph topology); retrieval_proposal_rate: proposals per frame —
+        # every proposal pays the symmetric decode+match before the
+        # min_match_frac gate, so the COST-bearing weight bench.py uses
+        # for the sym stage is the proposal rate
         "retrieval_edge_rate":
             system.stats["retrieval_edges"] / max(n, 1),
+        "retrieval_proposal_rate":
+            system.stats["retrieval_proposals"] / max(n, 1),
         "mean_gn_iters": (
             system.tracker.gn_iters_total
             / max(system.tracker.gn_frames, 1)
@@ -307,15 +336,18 @@ def main():
         # so a rates file from a mismatched config is auditable)
         "config": str(args.config),
         "dataset": str(args.dataset),
+        "retrieval_active": retrieval is not None,
         "reference_exact": bool(args.reference_exact
                                 or config.get("reference_exact", False)),
     }
     print(f"rates: {rates}")
     import json
 
-    pathlib.Path("logs").mkdir(exist_ok=True)
-    with open("logs/rates.json", "w") as f:
-        json.dump(rates, f)
+    if args.rates_out:
+        rp = pathlib.Path(args.rates_out)
+        rp.parent.mkdir(parents=True, exist_ok=True)
+        with open(rp, "w") as f:
+            json.dump(rates, f)
 
     if getattr(dataset, "save_results", True):
         save_dir, seq_name = evaluate.prepare_savedir(args.save_as, dataset)
@@ -329,7 +361,7 @@ def main():
 
         if args.gt:
             ate = evaluate.ate_rmse(args.gt, save_dir / f"{seq_name}.txt",
-                                    max_diff=0.1)
+                                    max_diff=args.ate_max_diff)
             print(f"ATE RMSE (Sim3-aligned): {ate:.4f} m")
 
     if args.profile:

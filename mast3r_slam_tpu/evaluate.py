@@ -68,7 +68,7 @@ def save_reconstruction(savedir, filename, arena: KeyframeArena,
         return sim3.act(T[:, None, :], X)
 
     Xw = np.asarray(world_points(arena.X, arena.T_WC, arena.K))[:n]
-    colors = (np.asarray(arena.uimg)[:n] * 255).astype(np.uint8)
+    colors = np.asarray(arena.uimg)[:n]  # uint8 RGB (slim arena)
     C = np.asarray(arena.C)[:n, :, 0]
     N = np.maximum(np.asarray(arena.N)[:n], 1)
     conf = C / N[:, None]
@@ -88,12 +88,11 @@ def save_keyframes(savedir, timestamps, arena: KeyframeArena):
     savedir.mkdir(exist_ok=True, parents=True)
     n = int(arena.n_size)
     ids = np.asarray(arena.frame_id)[:n]
-    uimg = np.asarray(arena.uimg)[:n]
+    uimg = np.asarray(arena.uimg)[:n]  # uint8 RGB
     for i in range(n):
         t = timestamps[int(ids[i])]
-        img = (uimg[i] * 255).astype(np.uint8)
         cv2.imwrite(str(savedir / f"{t}.png"),
-                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+                    cv2.cvtColor(uimg[i], cv2.COLOR_RGB2BGR))
 
 
 def save_ply(filename, points, colors):
@@ -151,15 +150,32 @@ def load_tum_trajectory(path):
     return data[:, 0], data[:, 1:4], data[:, 4:8]
 
 
-def associate(t_a, t_b, max_diff=0.02):
-    """Greedy nearest-timestamp association (TUM tooling convention)."""
-    ia, ib = [], []
-    j = 0
-    for i, ta in enumerate(t_a):
-        j = int(np.argmin(np.abs(t_b - ta)))
-        if abs(t_b[j] - ta) <= max_diff:
-            ia.append(i)
-            ib.append(j)
+def associate(t_a, t_b, max_diff=0.01):
+    """Unique nearest-timestamp association, evo semantics.
+
+    Matches ``evo.core.sync.associate_trajectories``: default window
+    0.01 s and each timestamp used at most once — candidate pairs are
+    taken best-diff-first so a single b-stamp can never score against two
+    a-stamps (the reference protocol scores with ``evo_ape``,
+    scripts/eval_tum.sh:46-50; a looser/greedy association would accept
+    pairs evo rejects and make ATE numbers non-comparable)."""
+    ia_all = np.arange(len(t_a))
+    jb = np.asarray([int(np.argmin(np.abs(t_b - ta))) for ta in t_a])
+    diffs = np.abs(np.asarray(t_b)[jb] - np.asarray(t_a))
+    order = np.argsort(diffs, kind="stable")
+    used_b = set()
+    pairs = []
+    for k in order:
+        if diffs[k] > max_diff:
+            break
+        if int(jb[k]) in used_b:
+            continue
+        used_b.add(int(jb[k]))
+        pairs.append((int(ia_all[k]), int(jb[k])))
+    pairs.sort()
+    if not pairs:
+        return np.asarray([], int), np.asarray([], int)
+    ia, ib = zip(*pairs)
     return np.asarray(ia, int), np.asarray(ib, int)
 
 
@@ -182,7 +198,7 @@ def umeyama_alignment(x, y, with_scale=True):
     return R, t, c
 
 
-def ate_rmse(gt_file, est_file, max_diff=0.02, with_scale=True):
+def ate_rmse(gt_file, est_file, max_diff=0.01, with_scale=True):
     """ATE RMSE after Sim(3) (default) or SE(3) alignment; mirrors the
     reference eval protocol's ``evo_ape tum gt est -as``."""
     t_g, p_g, _ = load_tum_trajectory(gt_file)

@@ -399,6 +399,7 @@ def resize_img(img: np.ndarray, size: int = 512, square_ok: bool = False,
         "img": normed[None],
         "true_shape": np.int32([pil.size[::-1]]),
         "unnormalized_img": arr,
+        "unnormalized_img_u8": arr8,   # uint8 view for the slim arena
     }
     if return_transformation:
         scale_w = W1 / W

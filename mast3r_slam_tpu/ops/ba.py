@@ -367,6 +367,25 @@ class EdgeData(NamedTuple):
     ind: jnp.ndarray   # (E, Np) matched linear indices (calib target px)
 
 
+_flat_fallback_warned: set = set()
+
+
+def _warn_flat_fallback(why: str):
+    """One-time warning when subsample_points degrades to the flat
+    column-biased stride — a resolution/config change that breaks the
+    (h, w) divisibility would otherwise silently reintroduce the 3.2x
+    cliff-scene ATE loss the 2D pattern exists to prevent (ADVICE r3).
+    Shapes are static, so this fires at trace time, not per step."""
+    if why not in _flat_fallback_warned:
+        _flat_fallback_warned.add(why)
+        import warnings
+
+        warnings.warn(
+            f"subsample_points: falling back to the flat [:, ::s] stride "
+            f"({why}) — column-biased BA residual coverage; pick a "
+            f"resolution divisible by the stride factors", stacklevel=3)
+
+
 def subsample_points(a, s: int, img_wh):
     """Spatially balanced stride-``s`` subset along the flat raster axis 1.
 
@@ -381,6 +400,7 @@ def subsample_points(a, s: int, img_wh):
     if s <= 1:
         return a
     if img_wh is None:
+        _warn_flat_fallback("img_wh=None")
         return a[:, ::s]
     w, h = img_wh
     sv = int(s ** 0.5)
@@ -388,6 +408,10 @@ def subsample_points(a, s: int, img_wh):
         sv -= 1
     su = s // sv
     if a.shape[1] != h * w or h % sv or w % su:
+        _warn_flat_fallback(
+            f"shape[1]={a.shape[1]} vs h*w={h * w}, "
+            f"(h, w)=({h}, {w}) not divisible by (sv, su)=({sv}, {su})"
+        )
         return a[:, ::s]
     E = a.shape[0]
     rest = a.shape[2:]

@@ -199,7 +199,8 @@ class SLAMSystem:
         self.last_T_WC = sim3.identity()
         self.reloc_attempts = 0
         self.stats = {"tracked": 0, "skipped": 0, "keyframes": 0,
-                      "reloc": 0, "ba_rounds": 0, "retrieval_edges": 0}
+                      "reloc": 0, "ba_rounds": 0, "retrieval_edges": 0,
+                      "retrieval_proposals": 0}
         if not self.single_thread:
             self._backend_thread = threading.Thread(
                 target=self._backend_loop, daemon=True
@@ -283,22 +284,24 @@ class SLAMSystem:
     def prepare_image(self, img: np.ndarray):
         """Host-only part of frame creation (resize + ImgNorm): pure numpy,
         safe to run on a prefetch thread overlapping device work.  Returns
-        (normalized (h, w, 3) f32, unnormalized (h, w, 3) f32)."""
+        (normalized (h, w, 3) f32, unnormalized (h, w, 3) uint8 — the slim
+        arena stores display pixels as uint8, VERDICT r3 next #4)."""
         if img.shape[:2] == self.img_hw:
             # already at network resolution (synthetic harness or
             # pre-sized dataset); uint8 takes the fused fast path
             if img.dtype == np.uint8:
-                uimg_np = img.astype(np.float32) * (1.0 / 255.0)
+                uimg8 = img
                 normed = img.astype(np.float32) * (1.0 / 127.5) - 1.0
             else:
                 from .inference import IMGNORM_MEAN, IMGNORM_STD
 
                 uimg_np = np.clip(img, 0.0, 1.0).astype(np.float32)
+                uimg8 = np.uint8(np.round(uimg_np * 255.0))
                 normed = (uimg_np - IMGNORM_MEAN) / IMGNORM_STD
-            return normed, uimg_np
+            return normed, uimg8
         out = resize_img(img, self.img_size)
         return np.asarray(out["img"][0], np.float32), \
-            np.asarray(out["unnormalized_img"], np.float32)
+            np.asarray(out["unnormalized_img_u8"], np.uint8)
 
     def create_frame(self, i: int, img) -> Frame:
         """Host decode -> device frame with encoder features (reference
@@ -319,7 +322,6 @@ class SLAMSystem:
         hw = h * w
         return Frame(
             frame_id=jnp.asarray(i, jnp.int32),
-            img=device_img,
             uimg=uimg,
             T_WC=self.last_T_WC,
             X_canon=jnp.zeros((hw, 3), jnp.float32),
@@ -455,6 +457,13 @@ class SLAMSystem:
 
     def _process_task(self, idx: int):
         if idx == -1:  # reloc request (threaded mode)
+            # coalesce: the frontend enqueues one sentinel per RELOC-mode
+            # frame while _reloc_frame is overwritten; once a prior
+            # sentinel relocalized (mode flipped back to TRACKING) the
+            # remaining ones would replay relocalization against
+            # already-tracked state — skip them (VERDICT r3 weak #7)
+            if self.mode != Mode.RELOC:
+                return
             with self._lock:
                 frame = self._reloc_frame
             if self._relocalization(frame):
@@ -483,12 +492,17 @@ class SLAMSystem:
             )
             kf_idx += retrieval_inds
             kf_idx = list(set(kf_idx) - {idx})
-            # measured protocol weights (bench.py composition): how often
-            # loop-closure edges (the full symmetric decode+match cost)
-            # actually fire, vs the reused consecutive edge
-            self.stats["retrieval_edges"] += len(
+            # retrieval_proposals: candidates BEFORE add_factors'
+            # min_match_frac gating; retrieval_edges (the protocol-weight
+            # stat bench.py consumes) counts ACCEPTED non-consecutive
+            # edges below — a proposal the gate rejects never pays the
+            # symmetric decode+match... it does pay it once to be gated,
+            # so bench's sym-cost weight uses proposals, and the accepted
+            # count is reported for graph-topology honesty.
+            self.stats["retrieval_proposals"] += len(
                 set(kf_idx) - {idx - 1}
             )
+            ne0 = self.graph.n_edges
             if kf_idx:
                 frame_idx = [idx] * len(kf_idx)
                 with self._lock:
@@ -504,6 +518,14 @@ class SLAMSystem:
                         float(self.cfg["local_opt"]["min_match_frac"]),
                         reuse=reuse,
                     )
+                # accepted non-consecutive edges (post min_match_frac
+                # gating) — what actually entered the graph
+                g = self.graph
+                new_ii = g.ii[ne0:g.n_edges]
+                new_jj = g.jj[ne0:g.n_edges]
+                self.stats["retrieval_edges"] += int(
+                    np.sum(new_ii != new_jj - 1)
+                )
             self._solve_graph(snap)
         finally:
             release()
@@ -541,6 +563,7 @@ class SLAMSystem:
 
     def _relocalization(self, frame: Frame) -> bool:
         """main.py:41-84."""
+        self.reloc_attempts += 1
         snap, release = self._snapshot()
         try:
             kf_idx = list(
@@ -652,7 +675,13 @@ class SLAMSystem:
         for f in dataclasses.fields(self.arena):
             key = f"arena_{f.name}"
             if key in d:
-                arena_kw[f.name] = jnp.asarray(d[key])
+                v = d[key]
+                if f.name == "uimg" and np.issubdtype(v.dtype, np.floating):
+                    # pre-slim checkpoints stored uimg as fp32 [0, 1]
+                    v = np.uint8(np.round(np.clip(v, 0.0, 1.0) * 255.0))
+                arena_kw[f.name] = jnp.asarray(v)
+        # pre-slim checkpoints also carry arena_img (the dead normalized
+        # plane) — dataclasses.fields no longer lists it, so it is ignored
         self.arena = self.arena.replace(**arena_kw)
         self.mode = Mode(int(d["mode"]))
         self.last_T_WC = jnp.asarray(d["last_T_WC"])

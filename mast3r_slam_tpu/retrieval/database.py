@@ -74,9 +74,19 @@ class RetrievalDatabase:
         if self.kf_counter > 0:
             query_words = self.codebook.quantize(feat, self.query_ma)
             ades, word_ids = self.kernel.aggregate_image(feat, query_words)
-            ranks, ranked_scores = self.ivf.search(
-                ades, word_ids, self._similarity, topk=None
-            )
+            if self.kernel.binary:
+                # one flattened XOR+popcount instead of a ~U-iteration
+                # Python loop over near-empty posting lists (asmk.py
+                # search_packed)
+                ranks, ranked_scores = self.ivf.search_packed(
+                    ades, word_ids, self.codebook.dim, alpha=self.alpha,
+                    similarity_threshold=self.similarity_threshold,
+                    topk=None,
+                )
+            else:
+                ranks, ranked_scores = self.ivf.search(
+                    ades, word_ids, self._similarity, topk=None
+                )
             scores = np.empty_like(ranked_scores)
             scores[ranks] = ranked_scores
             kk = min(k, self.ivf.n_images)

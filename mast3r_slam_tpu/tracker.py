@@ -448,7 +448,7 @@ def track_step(engine_match_asym, frame: Frame, keyframe: Frame, idx_init,
     pure function.  engine_match_asym is the jitted asymmetric
     inference+match entry point; everything below it is traced into the
     same computation when wrapped by the caller."""
-    h, w = frame.img.shape[0], frame.img.shape[1]
+    h, w = frame.uimg.shape[0], frame.uimg.shape[1]
     hw = h * w
 
     outs = engine_match_asym(

@@ -34,7 +34,7 @@ def _world_cloud(arena: KeyframeArena, conf_threshold: float = 1.5,
     X = np.asarray(arena.X)[:n]
     C = np.asarray(arena.C)[:n, :, 0]
     Nc = np.maximum(np.asarray(arena.N)[:n], 1)
-    uimg = np.asarray(arena.uimg)[:n]
+    uimg = np.asarray(arena.uimg)[:n].astype(np.float32) / 255.0
     import jax.numpy as jnp
 
     for i in range(n):
@@ -55,76 +55,104 @@ def _world_cloud(arena: KeyframeArena, conf_threshold: float = 1.5,
     return pts, cols
 
 
-def _world_cloud_grid(arena: KeyframeArena, conf_threshold: float = 1.5,
-                      max_points: int = 400_000):
-    """Grid-aware map extraction for surfel / triangle-mesh rendering
-    (counterpart of the reference's surfelmap.glsl normal-oriented quads
-    and trianglemap.glsl mesh): per-keyframe subsampled pointmap grids
-    with per-point normals (central differences) and triangle indices
-    with depth-discontinuity culling.
+def np_sim3_Rst(T):
+    """Host-side Sim(3) decomposition: T = [t(3), q(xyzw), s] (the
+    ops/lie_sim3 embedding) -> (R (3,3), s, t (3,)) in numpy, so viewer
+    code can compose world transforms without touching the device."""
+    T = np.asarray(T, np.float64)
+    t = T[:3]
+    x, y, z, w = T[3:7] / (np.linalg.norm(T[3:7]) + 1e-30)
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+    return R, float(T[7]), t
 
-    Returns (pts (M,3) f32, cols (M,3) f32 in [0,1], normals (M,3) f32,
-    tris (T,3) u32)."""
-    n = int(arena.n_size)
-    if n == 0:
-        return (np.zeros((0, 3), np.float32),) * 3 + (
-            np.zeros((0, 3), np.uint32),)
-    h, w = arena.img_hw
-    stride = max(1, int(np.ceil(np.sqrt(max(n * h * w / max_points, 1)))))
-    T = np.asarray(arena.T_WC)[:n]
-    X = np.asarray(arena.X)[:n]
-    C = np.asarray(arena.C)[:n, :, 0]
-    Nc = np.maximum(np.asarray(arena.N)[:n], 1)
-    uimg = np.asarray(arena.uimg)[:n]
-    import jax.numpy as jnp
 
+def extract_kf_grid(Xc_flat, C_flat, N_count, uimg_u8, h, w, stride,
+                    conf_threshold):
+    """CAMERA-FRAME grid extraction for ONE keyframe: subsampled pointmap
+    grid with per-point normals (central differences) and 0-based local
+    triangle indices with depth-discontinuity culling.
+
+    Camera-frame output is the unit of the viewer's dirty-keyframe cache
+    (VERDICT r3 next #10, mirroring the reference's dirty-idx texture
+    refresh, visualization.py:131-151): pointmaps change only when a
+    keyframe's fusion count bumps, while POSES change every BA round —
+    so the cache holds camera-frame grids keyed by N_updates and the
+    (cheap) world transform is applied per publish.
+
+    Returns (pts_c (nv,3) f32, cols (nv,3) f32 [0,1], nrm_c (nv,3) f32,
+    tris_local (t,3) u32)."""
+    Xc = np.asarray(Xc_flat).reshape(h, w, 3)[::stride, ::stride]
+    conf = (np.asarray(C_flat)[:, 0] / max(int(N_count), 1)).reshape(
+        h, w)[::stride, ::stride]
+    col = (np.asarray(uimg_u8).astype(np.float32) / 255.0)[::stride,
+                                                           ::stride]
+    valid = conf > conf_threshold
+    gh, gw = Xc.shape[:2]
+
+    # normals from grid central differences (surfelmap.glsl orients
+    # its quads with exactly these cross-product normals)
+    du = np.gradient(Xc, axis=1)
+    dv = np.gradient(Xc, axis=0)
+    nrm = np.cross(du.reshape(-1, 3), dv.reshape(-1, 3))
+    ln = np.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = (nrm / np.maximum(ln, 1e-12)).reshape(gh, gw, 3)
+
+    idx_map = np.full((gh, gw), -1, np.int64)
+    nv = int(valid.sum())
+    idx_map[valid] = np.arange(nv)
+    pts_c = Xc[valid].astype(np.float32)
+    cols = col[valid].astype(np.float32)
+    nrm_c = nrm[valid].astype(np.float32)
+
+    # triangles with depth-discontinuity culling (trianglemap.glsl
+    # counterpart): drop quads whose 3D edges exceed ~8x the median
+    # grid spacing of this keyframe
+    a = idx_map[:-1, :-1]
+    b = idx_map[:-1, 1:]
+    c = idx_map[1:, :-1]
+    d = idx_map[1:, 1:]
+    eh = np.linalg.norm(Xc[:, 1:] - Xc[:, :-1], axis=-1)
+    evd = np.linalg.norm(Xc[1:] - Xc[:-1], axis=-1)
+    med = np.median(np.concatenate(
+        [eh.reshape(-1), evd.reshape(-1)])) + 1e-12
+    tau = 8.0 * med
+    ok_e = ((eh[:-1] < tau) & (evd[:, :-1] < tau)
+            & (eh[1:] < tau) & (evd[:, 1:] < tau))
+    quad_ok = (a >= 0) & (b >= 0) & (c >= 0) & (d >= 0) & ok_e
+    tris = np.zeros((0, 3), np.uint32)
+    if quad_ok.any():
+        aa, bb, cc, dd = (x[quad_ok] for x in (a, b, c, d))
+        tris = np.concatenate([
+            np.stack([aa, bb, cc], -1),
+            np.stack([bb, dd, cc], -1),
+        ]).astype(np.uint32)
+    return pts_c, cols, nrm_c, tris
+
+
+def grid_stride(n_kf: int, h: int, w: int, max_points: int) -> int:
+    return max(1, int(np.ceil(np.sqrt(max(n_kf * h * w / max_points, 1)))))
+
+
+def compose_world_grids(entries, T_rows):
+    """Assemble (pts, cols, nrms, tris) in WORLD coordinates from cached
+    camera-frame grids + current poses.  entries: list of
+    (pts_c, cols, nrm_c, tris_local); T_rows: matching (n, 8) poses."""
     pts_all, col_all, nrm_all, tri_all = [], [], [], []
     base = 0
-    for i in range(n):
-        Xw = np.asarray(
-            sim3.act(jnp.asarray(T[i]), jnp.asarray(X[i]))
-        ).reshape(h, w, 3)[::stride, ::stride]
-        conf = (C[i] / Nc[i]).reshape(h, w)[::stride, ::stride]
-        col = uimg[i][::stride, ::stride]
-        valid = conf > conf_threshold
-        gh, gw = Xw.shape[:2]
-
-        # normals from grid central differences (surfelmap.glsl orients
-        # its quads with exactly these cross-product normals)
-        du = np.gradient(Xw, axis=1)
-        dv = np.gradient(Xw, axis=0)
-        nrm = np.cross(du.reshape(-1, 3), dv.reshape(-1, 3))
-        ln = np.linalg.norm(nrm, axis=-1, keepdims=True)
-        nrm = (nrm / np.maximum(ln, 1e-12)).reshape(gh, gw, 3)
-
-        idx_map = np.full((gh, gw), -1, np.int64)
-        nv = int(valid.sum())
-        idx_map[valid] = base + np.arange(nv)
-        pts_all.append(Xw[valid].astype(np.float32))
-        col_all.append(col[valid].astype(np.float32))
-        nrm_all.append(nrm[valid].astype(np.float32))
-
-        # triangles with depth-discontinuity culling (trianglemap.glsl
-        # counterpart): drop quads whose 3D edges exceed ~8x the median
-        # grid spacing of this keyframe
-        a = idx_map[:-1, :-1]
-        b = idx_map[:-1, 1:]
-        c = idx_map[1:, :-1]
-        d = idx_map[1:, 1:]
-        eh = np.linalg.norm(Xw[:, 1:] - Xw[:, :-1], axis=-1)
-        evd = np.linalg.norm(Xw[1:] - Xw[:-1], axis=-1)
-        med = np.median(np.concatenate(
-            [eh.reshape(-1), evd.reshape(-1)])) + 1e-12
-        tau = 8.0 * med
-        ok_e = ((eh[:-1] < tau) & (evd[:, :-1] < tau)
-                & (eh[1:] < tau) & (evd[:, 1:] < tau))
-        quad_ok = (a >= 0) & (b >= 0) & (c >= 0) & (d >= 0) & ok_e
-        if quad_ok.any():
-            aa, bb, cc, dd = (x[quad_ok] for x in (a, b, c, d))
-            tri_all.append(np.stack([aa, bb, cc], -1).astype(np.uint32))
-            tri_all.append(np.stack([bb, dd, cc], -1).astype(np.uint32))
-        base += nv
-
+    for (pts_c, cols, nrm_c, tris), Ti in zip(entries, T_rows):
+        R, s, t = np_sim3_Rst(Ti)
+        Rf = R.astype(np.float32)
+        pts_all.append(pts_c @ (s * Rf).T + t.astype(np.float32))
+        col_all.append(cols)
+        # normals rotate only (uniform scale preserves direction)
+        nrm_all.append(nrm_c @ Rf.T)
+        if len(tris):
+            tri_all.append(tris + np.uint32(base))
+        base += len(pts_c)
     pts = np.concatenate(pts_all) if pts_all else np.zeros((0, 3))
     cols = np.concatenate(col_all) if col_all else np.zeros((0, 3))
     nrms = np.concatenate(nrm_all) if nrm_all else np.zeros((0, 3))
@@ -134,9 +162,39 @@ def _world_cloud_grid(arena: KeyframeArena, conf_threshold: float = 1.5,
             nrms.astype(np.float32), tris)
 
 
+def _world_cloud_grid(arena: KeyframeArena, conf_threshold: float = 1.5,
+                      max_points: int = 400_000):
+    """Grid-aware map extraction for surfel / triangle-mesh rendering:
+    the one-shot (cache-free) composition of extract_kf_grid +
+    compose_world_grids over all keyframes.  The live viewer uses the
+    incremental per-keyframe cache instead (viz_server.publish).
+
+    Returns (pts (M,3) f32, cols (M,3) f32 in [0,1], normals (M,3) f32,
+    tris (T,3) u32)."""
+    n = int(arena.n_size)
+    if n == 0:
+        return (np.zeros((0, 3), np.float32),) * 3 + (
+            np.zeros((0, 3), np.uint32),)
+    h, w = arena.img_hw
+    stride = grid_stride(n, h, w, max_points)
+    T = np.asarray(arena.T_WC)[:n]
+    X = np.asarray(arena.X)[:n]
+    C = np.asarray(arena.C)[:n]
+    Nc = np.asarray(arena.N)[:n]
+    uimg = np.asarray(arena.uimg)[:n]
+    entries = [
+        extract_kf_grid(X[i], C[i], Nc[i], uimg[i], h, w, stride,
+                        conf_threshold)
+        for i in range(n)
+    ]
+    return compose_world_grids(entries, T)
+
+
 def _frusta(arena: KeyframeArena, scale: float = 0.1):
     """Line segments of keyframe camera frusta in world coords
-    (reference visualization_utils.Frustums)."""
+    (reference visualization_utils.Frustums).  Pure host numpy — one
+    pose-table transfer, no per-keyframe device ops (eager ops on the
+    relayed TPU are remote compiles)."""
     n = int(arena.n_size)
     T = np.asarray(arena.T_WC)[:n]
     corners = np.array(
@@ -145,12 +203,9 @@ def _frusta(arena: KeyframeArena, scale: float = 0.1):
     ) * scale
     edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (3, 4), (4, 1)]
     segs = []
-    import jax.numpy as jnp
-
     for i in range(n):
-        cw = np.asarray(
-            sim3.act(jnp.asarray(T[i]), jnp.asarray(corners, jnp.float32))
-        )
+        R, s, t = np_sim3_Rst(T[i])
+        cw = corners @ (s * R).T + t
         for a, b in edges:
             segs.append((cw[a], cw[b]))
     return np.asarray(segs)  # (m, 2, 3)

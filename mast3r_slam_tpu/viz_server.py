@@ -30,6 +30,22 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 
+def _viz_row(X, C, N, uimg, i):
+    """Jitted single-keyframe row fetch for the viewer cache: a compiled
+    gather, NOT eager indexing (eager ops on the relayed TPU are remote
+    compiles, CLAUDE.md); one executable serves every (arena-shape, i)."""
+    import jax
+
+    global _viz_row_jit
+    try:
+        fn = _viz_row_jit
+    except NameError:
+        fn = _viz_row_jit = jax.jit(
+            lambda X, C, N, uimg, i: (X[i], C[i], N[i], uimg[i])
+        )
+    return fn(X, C, N, uimg, i)
+
+
 @dataclass
 class WindowMsg:
     """Control state mirrored from the reference WindowMsg
@@ -146,18 +162,54 @@ class LiveViewer:
         """Snapshot the map into the serving buffer.  Host-side numpy only;
         call it off the frame critical path (e.g. on new keyframes).
 
+        INCREMENTAL (VERDICT r3 next #10, the reference's dirty-idx
+        texture refresh, visualization.py:131-151): per-keyframe
+        camera-frame grids are cached keyed by the arena's per-row
+        ``N_updates`` version, so a publish pulls from the device only
+        the keyframes whose pointmaps actually changed (new keyframes +
+        the fused last keyframe) plus the tiny pose table — O(dirty)
+        instead of the whole multi-GB arena.  Poses (which change every
+        BA round) are composed on the host from the cache.
+
         The blob carries grid-derived per-point normals and triangle
         indices so the client can render point / surfel / mesh modes (the
         counterparts of the reference's pointmap.glsl / surfelmap.glsl /
         trianglemap.glsl shader programs)."""
-        from .viz import _frusta, _world_cloud_grid
+        from .viz import (_frusta, compose_world_grids, extract_kf_grid,
+                          grid_stride)
 
         msg = self.get_msg()
-        pts, cols, nrms, tris = _world_cloud_grid(
-            arena, msg.C_conf_threshold, self.max_points
-        )
-        frusta = _frusta(arena)
         n = int(arena.n_size)
+        if n == 0:
+            pts = nrms = np.zeros((0, 3), np.float32)
+            cols = np.zeros((0, 3), np.float32)
+            tris = np.zeros((0, 3), np.uint32)
+        else:
+            h, w = arena.img_hw
+            stride = grid_stride(n, h, w, self.max_points)
+            key = (stride, msg.C_conf_threshold, h, w)
+            if key != getattr(self, "_cache_key", None):
+                self._cache_key = key
+                self._kf_cache = {}
+            # host pulls: versions + poses are tiny; rows only if dirty
+            vers = np.asarray(arena.N_updates)[:n]
+            T = np.asarray(arena.T_WC)[:n]
+            for i in range(n):
+                ent = self._kf_cache.get(i)
+                if ent is not None and ent[0] == int(vers[i]):
+                    continue
+                row = _viz_row(arena.X, arena.C, arena.N, arena.uimg,
+                               np.int32(i))
+                Xi, Ci, Ni, Ui = (np.asarray(a) for a in row)
+                self._kf_cache[i] = (
+                    int(vers[i]),
+                    extract_kf_grid(Xi, Ci, Ni, Ui, h, w, stride,
+                                    msg.C_conf_threshold),
+                )
+            pts, cols, nrms, tris = compose_world_grids(
+                [self._kf_cache[i][1] for i in range(n)], T
+            )
+        frusta = _frusta(arena)
 
         # factor-graph edge lines between keyframe centers
         # (visualization.py:173-188)

@@ -3,8 +3,14 @@
 driving the CLI pipeline without external datasets.
 
 Usage: python scripts/make_synthetic_clip.py OUTDIR [n_frames] [h] [w]
+         [--loop] [--scene smooth|cliff|occluder] [--traj-scale S] [--seed N]
+
+``--loop`` closes the trajectory (integer-cycle sinusoids return to the
+start) so retrieval proposes genuine loop-closure edges — the fixture for
+the dedicated protocol-rates run (scripts/make_rates.py).
 """
 
+import argparse
 import pathlib
 import sys
 
@@ -18,14 +24,25 @@ jax.config.update("jax_platforms", "cpu")
 
 
 def main():
-    out = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/clip")
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-    h = int(sys.argv[3]) if len(sys.argv) > 3 else 96
-    w = int(sys.argv[4]) if len(sys.argv) > 4 else 128
+    p = argparse.ArgumentParser()
+    p.add_argument("out", nargs="?", default="/tmp/clip")
+    p.add_argument("n_frames", nargs="?", type=int, default=30)
+    p.add_argument("h", nargs="?", type=int, default=96)
+    p.add_argument("w", nargs="?", type=int, default=128)
+    p.add_argument("--loop", action="store_true",
+                   help="closed trajectory (loop-closure clip)")
+    p.add_argument("--scene", default="smooth",
+                   choices=["smooth", "cliff", "occluder"])
+    p.add_argument("--traj-scale", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+    out = pathlib.Path(args.out)
 
     from mast3r_slam_tpu.testing import SyntheticSequence
 
-    seq = SyntheticSequence(n_frames=n, h=h, w=w, seed=0, traj_scale=0.1)
+    seq = SyntheticSequence(n_frames=args.n_frames, h=args.h, w=args.w,
+                            seed=args.seed, traj_scale=args.traj_scale,
+                            loop=args.loop, scene=args.scene)
     out.mkdir(parents=True, exist_ok=True)
     import cv2
 
@@ -39,7 +56,9 @@ def main():
     K = seq.K
     np.savetxt(out / "calibration.txt",
                [K[0, 0], K[1, 1], K[0, 2], K[1, 2]], fmt="%.6f")
-    print(f"wrote {n} frames to {out} (gt.txt, calibration.txt)")
+    print(f"wrote {args.n_frames} frames to {out} "
+          f"(gt.txt, calibration.txt, loop={args.loop}, "
+          f"scene={args.scene})")
 
 
 if __name__ == "__main__":

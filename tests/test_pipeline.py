@@ -236,3 +236,57 @@ def test_load_state_legacy_stats_layout(tmp_path, seq):
     for k, v in legacy.items():
         assert sys_b.stats[k] == v, (k, sys_b.stats)
     assert sys_b.stats["retrieval_edges"] == 0
+
+
+def test_associate_unique_nearest_neighbor():
+    """evo-semantics association (VERDICT r3 next #7): default 0.01 s
+    window and one-to-one matching — a single gt stamp near two estimate
+    stamps pairs only with the closer one."""
+    t_a = np.array([0.0, 0.004, 1.0])
+    t_b = np.array([0.001, 1.002])
+    ia, ib = evaluate.associate(t_a, t_b)
+    # b[0] is nearest to both a[0] (diff 1 ms) and a[1] (diff 3 ms):
+    # uniqueness keeps the closer pair only
+    assert list(zip(ia, ib)) == [(0, 0), (2, 1)]
+    # window: 20 ms away is outside the 0.01 default
+    ia, ib = evaluate.associate(np.array([0.021]), t_b)
+    assert len(ia) == 0
+    # but inside an explicit (synthetic-clip) override
+    ia, ib = evaluate.associate(np.array([0.021]), t_b, max_diff=0.05)
+    assert list(zip(ia, ib)) == [(0, 0)]
+
+
+def test_ate_rmse_hand_computed_sim3_case(tmp_path):
+    """Cross-check ate_rmse against a closed-form Sim(3)-aligned case.
+
+    gt = the 6 axis unit vectors (mean 0); est adds a perturbation that is
+    mean-zero, orthogonal to every gt point, and has zero gt-cross-
+    covariance, so the optimal Umeyama alignment is R=I, t=0 and
+    c = 1 / (1 + 2 e^2 / 3) exactly (var_x = 1 + 4e^2/6, trace(D) = 1).
+    The expected RMSE follows in closed form without calling the
+    evaluator's own alignment code."""
+    e = 1e-3
+    gt = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                   [0, -1, 0], [0, 0, 1], [0, 0, -1]], float)
+    d = np.zeros_like(gt)
+    d[0] = [0, 0, e]
+    d[1] = [0, 0, e]
+    d[2] = [0, 0, -e]
+    d[3] = [0, 0, -e]
+    est = gt + d
+
+    def write(path, p):
+        with open(path, "w") as f:
+            for i in range(len(p)):
+                f.write(f"{i * 0.1} {p[i, 0]} {p[i, 1]} {p[i, 2]} "
+                        f"0 0 0 1\n")
+
+    write(tmp_path / "gt.txt", gt)
+    write(tmp_path / "est.txt", est)
+    c = 1.0 / (1.0 + 2.0 * e * e / 3.0)
+    err = np.linalg.norm(c * est - gt, axis=-1)
+    expected = float(np.sqrt((err ** 2).mean()))
+    ate = evaluate.ate_rmse(tmp_path / "gt.txt", tmp_path / "est.txt")
+    assert np.isclose(ate, expected, rtol=1e-6), (ate, expected)
+    # sanity: the closed form is ~ e * sqrt(2/3) for small e
+    assert np.isclose(expected, e * np.sqrt(2 / 3), rtol=1e-3)

@@ -263,3 +263,125 @@ def test_pipeline_loop_closure_end_to_end(tmp_path):
     assert ate_on <= ate_off * 1.1, (ate_on, ate_off)
     # absolute sanity at 1 cm pointmap noise on a ~4 m scene
     assert ate_on < 0.15, ate_on
+
+
+def test_reloc_sentinel_coalescing():
+    """VERDICT r3 weak #7 / next #8: the frontend enqueues one reloc
+    sentinel per RELOC-mode frame; after the first success the remaining
+    queued sentinels must NOT replay relocalization against
+    already-tracked state — N queued sentinels -> exactly 1 attempt."""
+    from mast3r_slam_tpu.frame import Mode
+    from mast3r_slam_tpu.pipeline import SLAMSystem
+    from mast3r_slam_tpu.testing import (
+        OracleEngine, SyntheticSequence, make_oracle_retrieval,
+    )
+    from mast3r_slam_tpu.utils.config import load_config
+
+    seq = SyntheticSequence(n_frames=14, h=32, w=48, seed=0,
+                            traj_scale=0.4)
+    engine = OracleEngine(seq, blackout_frames={6})
+    retrieval = make_oracle_retrieval(seq, engine)
+    cfg = load_config("config/eval_no_calib.yaml")
+    cfg["dataset"]["img_size"] = 48
+
+    system = SLAMSystem(cfg, engine, (seq.h, seq.w), buffer=32,
+                        retrieval=retrieval)
+    # build a map, hit the blackout -> RELOC
+    for i in range(7):
+        system.process_frame(i, seq.images[i])
+    assert system.mode == Mode.RELOC
+
+    # prepare the reloc mailbox frame exactly like the threaded frontend:
+    # it keeps ingesting frames (advancing the oracle's encode counter)
+    # and overwrites _reloc_frame each time; frame 10 is the first frame
+    # relocalization succeeds on (single-thread recovery trace)
+    for i in range(7, 11):
+        frame = system.create_frame(i, seq.images[i])
+        X, C = engine.inference_mono(frame.feat[None], frame.pos[None])
+        frame = system._mono_update(frame, X, C)
+    system._reloc_frame = frame
+
+    # the threaded frontend would enqueue one sentinel per skipped frame
+    n0 = system.reloc_attempts
+    for _ in range(5):
+        system.tasks.put(-1)
+    while not system.tasks.empty():
+        system._backend_once()
+
+    assert system.mode == Mode.TRACKING          # first sentinel succeeded
+    assert system.reloc_attempts - n0 == 1, (
+        f"{system.reloc_attempts - n0} reloc attempts for 5 queued "
+        f"sentinels (should coalesce to 1)"
+    )
+    system.terminate()
+
+
+def test_aggregate_image_vectorized_equivalence():
+    """The reduceat group-by aggregate_image must equal the per-word
+    reference loop (incl. the MA same-word dedup semantics)."""
+    from mast3r_slam_tpu.retrieval.asmk import (ASMKKernel, Codebook,
+                                                binarize_and_pack_2d)
+
+    rng = np.random.default_rng(0)
+    D, K, n, ma = 32, 64, 50, 5
+    cb = Codebook(rng.standard_normal((K, D)).astype(np.float32))
+    des = rng.standard_normal((n, D)).astype(np.float32)
+    words = rng.integers(0, K, (n, ma)).astype(np.int32)
+    # force duplicate-word-per-row cases (the any(axis=1) dedup semantics)
+    words[0, :] = 7
+    words[1, :2] = 9
+
+    def reference_loop(des, word_ids, centroids):
+        unique_ids = np.unique(word_ids)
+        ades = np.empty((unique_ids.shape[0], des.shape[1]), np.float32)
+        for i, word in enumerate(unique_ids):
+            sel = (word_ids == word).any(axis=1)
+            ades[i] = (des[sel] - centroids[word]).sum(0)
+        return ades, unique_ids
+
+    ades_ref, uid_ref = reference_loop(des, words, cb.centroids)
+
+    k = ASMKKernel(cb, binary=False)
+    ades_new, uid_new = k.aggregate_image(des, words)
+    np.testing.assert_array_equal(uid_ref, uid_new)
+    nrm = np.linalg.norm(ades_ref, axis=1, keepdims=True)
+    np.testing.assert_allclose(ades_new, ades_ref / np.maximum(nrm, 1e-12),
+                               atol=1e-5)
+
+    kb = ASMKKernel(cb, binary=True)
+    packed_new, _ = kb.aggregate_image(des, words)
+    np.testing.assert_array_equal(packed_new,
+                                  binarize_and_pack_2d(ades_ref))
+
+
+def test_ivf_search_packed_equals_loop():
+    """search_packed (one flattened XOR+popcount) must score identically
+    to the per-word loop with the binary kernel."""
+    from mast3r_slam_tpu.retrieval.asmk import IVF, ASMKKernel, Codebook
+
+    rng = np.random.default_rng(1)
+    D, K = 64, 32
+    cb = Codebook(rng.standard_normal((K, D)).astype(np.float32))
+    kern = ASMKKernel(cb, binary=True)
+    ivf = IVF(K)
+    for img in range(12):
+        des = rng.standard_normal((20, D)).astype(np.float32)
+        words = rng.integers(0, K, (20, 1)).astype(np.int32)
+        ades, wids = kern.aggregate_image(des, words)
+        ivf.add(ades, wids, np.full(len(wids), img, np.int64))
+
+    qdes = rng.standard_normal((25, D)).astype(np.float32)
+    qwords = rng.integers(0, K, (25, 3)).astype(np.int32)
+    ades, wids = kern.aggregate_image(qdes, qwords)
+
+    sim = lambda q, v, i: kern.similarity(q, v, i, alpha=3.0,
+                                          similarity_threshold=0.0)
+    r1, s1 = ivf.search(ades, wids, sim)
+    r2, s2 = ivf.search_packed(ades, wids, cb.dim, alpha=3.0,
+                               similarity_threshold=0.0)
+    # same per-image score table (ranks can permute only on exact ties)
+    full1 = np.zeros(ivf.n_images)
+    full1[r1] = s1
+    full2 = np.zeros(ivf.n_images)
+    full2[r2] = s2
+    np.testing.assert_allclose(full2, full1, rtol=1e-6, atol=1e-9)

@@ -115,3 +115,64 @@ def test_live_viewer_serves_and_controls():
         assert meta4["frame_version"] == 1  # survives a map publish
     finally:
         viewer.close()
+
+
+def test_incremental_publish_dirty_keyframes_only():
+    """VERDICT r3 next #10: publish() re-extracts only keyframes whose
+    N_updates version changed, and the incremental blob equals a
+    cache-free rebuild."""
+    import mast3r_slam_tpu.viz as viz
+    from mast3r_slam_tpu.pipeline import SLAMSystem
+    from mast3r_slam_tpu.testing import OracleEngine, SyntheticSequence
+    from mast3r_slam_tpu.utils.config import load_config
+    from mast3r_slam_tpu.viz_server import LiveViewer
+
+    seq = SyntheticSequence(n_frames=10, h=32, w=48, seed=0,
+                            traj_scale=0.5)
+    cfg = load_config("config/eval_no_calib.yaml")
+    cfg["dataset"]["img_size"] = 48
+    system = SLAMSystem(cfg, OracleEngine(seq), (seq.h, seq.w), buffer=32)
+    for i in range(6):
+        system.process_frame(i, seq.images[i])
+    system.terminate()
+
+    viewer = LiveViewer(port=0)
+    try:
+        calls = []
+        orig = viz.extract_kf_grid
+
+        def counting(Xc, C, N, u, h, w, stride, thr):
+            calls.append(1)
+            return orig(Xc, C, N, u, h, w, stride, thr)
+
+        viz.extract_kf_grid = counting
+        try:
+            viewer.publish(system.arena, stats=system.stats)
+            n = int(system.arena.n_size)
+            assert len(calls) == n  # cold cache: every keyframe extracted
+            blob1 = viewer._blob
+
+            calls.clear()
+            viewer.publish(system.arena, stats=system.stats)
+            assert len(calls) == 0  # warm cache, nothing dirty
+            assert viewer._blob == blob1  # identical content
+
+            # fuse into the last keyframe -> exactly one dirty row
+            from mast3r_slam_tpu.frame import arena_get, arena_set
+            kf = arena_get(system.arena, n - 1)
+            kf = kf.replace(N_updates=kf.N_updates + 1)
+            system.arena = arena_set(system.arena, n - 1, kf)
+            calls.clear()
+            viewer.publish(system.arena, stats=system.stats)
+            assert len(calls) == 1
+        finally:
+            viz.extract_kf_grid = orig
+
+        # the incremental blob must equal a cache-free rebuild
+        viewer._kf_cache = {}
+        viewer._cache_key = None
+        blob_incr = viewer._blob
+        viewer.publish(system.arena, stats=system.stats)
+        assert viewer._blob == blob_incr
+    finally:
+        viewer.close()
