@@ -96,10 +96,11 @@ def main():
         model, params, (h, w),
         match_cfg=MatchingConfig(dist_thresh=1e9, coarse_subsample=2,
                                  final_radius=1, coarse_radius=2,
-                                 dilation_schedule=(4, 2), lm_subsample=4),
+                                 dilation_schedule=(4, 2), lm_subsample=4,
+                                 edge_query_subsample=2),
     )  # coarse_subsample=2 + final_radius=1 + coarse_radius=2 + the (4,2)
-       # dilation schedule + lm_subsample=4 mirror the production config
-       # (config/base.yaml)
+       # dilation schedule + lm_subsample=4 + edge_query_subsample=2
+       # mirror the production config (config/base.yaml)
 
     # GN iteration count: the production while_loop exits at convergence
     # (reference parity: host-side break, tracker.py:166); max_iters=50 is
@@ -164,12 +165,33 @@ def main():
     img = jax.random.normal(key, (1, h, w, 3), jnp.float32)
 
     # --- encoder ---------------------------------------------------------
-    def enc_step(params, img):
-        feat, pos = model.apply(params, img, method=MASt3R.encode)
-        return img + 1e-12 * jnp.mean(feat)
+    # INT8 encoder is the production default for the quantized entry
+    # point (main_quantized.py, fork TRT-INT8 parity) and WINS in-context
+    # (3.74 vs 4.07 ms, scripts/bench_int8_encoder.py, VERDICT r3 next
+    # #6) — the bench measures that operating point.  BENCH_INT8_ENC=0
+    # restores the bf16 encoder (main.py's default eval path).
+    use_int8_enc = (os.environ.get("BENCH_INT8_ENC", "1") == "1"
+                    and not small)
+    if use_int8_enc:
+        from mast3r_slam_tpu.models.quant import (encode_int8,
+                                                  quantize_encoder_params)
 
-    enc_ms = timed_chain(enc_step, img, "encoder",
-                     lambda c: c[0, 0, 0, 0])
+        qparams_b = quantize_encoder_params(params)
+
+        def enc_step(params, carry):
+            im, q = carry
+            feat, pos = encode_int8(params, q, im, cfg)
+            return (im + 1e-12 * jnp.mean(feat), q)
+
+        enc_ms = timed_chain(enc_step, (img, qparams_b), "encoder(int8)",
+                             lambda c: c[0][0, 0, 0, 0])
+    else:
+        def enc_step(params, img):
+            feat, pos = model.apply(params, img, method=MASt3R.encode)
+            return img + 1e-12 * jnp.mean(feat)
+
+        enc_ms = timed_chain(enc_step, img, "encoder",
+                             lambda c: c[0, 0, 0, 0])
 
     # --- track step (decode + match + GN) --------------------------------
     feat_k, pos_k = engine.encode(img)
@@ -260,9 +282,13 @@ def main():
     D8j = jax.random.randint(kr[2], (1, h, w, 24), -127, 128, jnp.int8)
 
     def kf_edge_step(params, carry):
+        # edge_query_subsample=2: the production edge match runs on the
+        # (::2, ::2) query grid (bitwise-identical BA inputs at
+        # points_subsample=4; config/base.yaml)
         X11, X21, D11, D21 = carry
-        idx, valid = _matching.match(X11, X21, D11, D21,
-                                     cfg=engine.match_cfg)
+        idx, valid = _matching.match(
+            X11, X21, D11, D21, cfg=engine.match_cfg,
+            query_subsample=engine.match_cfg.edge_query_subsample)
         consume = (jnp.sum(idx) + jnp.sum(valid.astype(jnp.int32))
                    ).astype(jnp.float32)
         return (X11 + 1e-12 * consume, X21,
@@ -605,14 +631,17 @@ def main():
         # on dev0's host thread is measured against the full frame, not
         # masked by a max() against the uncontended frame_ms (ADVICE r3)
         def frame_chain_step(params, carry):
-            frame, keyframe, im = carry
-            feat, pos = model.apply(params, im, method=MASt3R.encode)
+            frame, keyframe, im, q = carry
+            if use_int8_enc:  # q rides the carry (no closure constants)
+                feat, pos = encode_int8(params, q, im, cfg)
+            else:
+                feat, pos = model.apply(params, im, method=MASt3R.encode)
             frame = frame.replace(
                 feat=frame.feat + 1e-12 * jnp.mean(feat).astype(
                     frame.feat.dtype))
             frame, keyframe = track_chain_step(params, (frame, keyframe))
             im = im + 1e-12 * frame.feat[0, 0]
-            return (frame, keyframe, im)
+            return (frame, keyframe, im, q)
 
         n_bk = max(1, round(N * kf_rate))
 
@@ -623,7 +652,8 @@ def main():
                 return readback(jax.lax.fori_loop(0, n, body, carry))
             return f
 
-        front_args = (params, (frame0, kf, img))
+        front_args = (params, (frame0, kf, img,
+                               qparams_b if use_int8_enc else jnp.zeros(())))
         back_args = (params1, back1)
 
         def run_pair(nf, nb):
@@ -680,6 +710,7 @@ def main():
             "retrieval_accept_rate": retr_accept_rate,
             "gn_iters": gn_iters,
             "rates_src": rates_src,
+            "int8_encoder": use_int8_enc,
         },
     }))
 

@@ -72,6 +72,74 @@ def _gate_edges(idx_i2j, idx_j2i, valid_match_j, valid_match_i,
     return (Qj, Qi, valid_j.mean(axis=1), valid_i.mean(axis=1))
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _gate_edges_sub(idx_i2j, idx_j2i, valid_match_j, valid_match_i,
+                    Qii, Qjj, Qji, Qij, Q_conf, h, w):
+    """_gate_edges for SUBGRID edge matches (matching
+    edge_query_subsample=2): idx/valid arrive on the (::2, ::2) query
+    grid; the resident-side Q is subsampled to the same grid for the
+    weight product, the match fractions are computed on the subgrid (an
+    unbiased estimate of the full-grid fraction), and the outputs are
+    scattered back into full-size (B, hw) arrays — odd pixels invalid —
+    so the edge store and BA (whose points_subsample=4 pattern reads
+    exactly the even pixels) are layout-compatible and bitwise-identical
+    to a full-grid match."""
+    B = idx_i2j.shape[0]
+
+    def sub(A):
+        return A.reshape(B, h, w)[:, ::2, ::2].reshape(B, -1)
+
+    def expand(A, fill):
+        out = jnp.full((B, h // 2, 2, w // 2, 2) + A.shape[2:],
+                       fill, A.dtype)
+        out = out.at[:, :, 0, :, 0].set(
+            A.reshape((B, h // 2, w // 2) + A.shape[2:]))
+        return out.reshape((B, h * w) + A.shape[2:])
+
+    Qj_s = jnp.sqrt(
+        jnp.take_along_axis(Qii[..., 0], idx_i2j, axis=1) * sub(Qji[..., 0])
+    )
+    Qi_s = jnp.sqrt(
+        jnp.take_along_axis(Qjj[..., 0], idx_j2i, axis=1) * sub(Qij[..., 0])
+    )
+    valid_j = valid_match_j[..., 0] & (Qj_s > Q_conf)
+    valid_i = valid_match_i[..., 0] & (Qi_s > Q_conf)
+    return (
+        expand(idx_i2j, 0), expand(idx_j2i, 0),
+        expand(valid_match_j, False), expand(valid_match_i, False),
+        expand(Qj_s, 0.0), expand(Qi_s, 0.0),
+        valid_j.mean(axis=1), valid_i.mean(axis=1),
+    )
+
+
+@jax.jit
+def _dir_weight(idx, Q_src, Q_res):
+    """One-direction full-grid edge weight (the reused tracker direction
+    of a mixed-resolution consecutive edge)."""
+    return jnp.sqrt(
+        jnp.take_along_axis(Q_src[..., 0], idx, axis=1) * Q_res[..., 0])
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _dir_weight_sub(idx, vm, Q_src, Q_res, h, w):
+    """One-direction edge weight for a subgrid match (the pose-warped
+    consecutive edge): Qdir = sqrt(Q_src[idx] * Q_res|subgrid), outputs
+    scattered to full size like _gate_edges_sub."""
+    B = idx.shape[0]
+    Q_res_s = Q_res[..., 0].reshape(B, h, w)[:, ::2, ::2].reshape(B, -1)
+    Qd = jnp.sqrt(
+        jnp.take_along_axis(Q_src[..., 0], idx, axis=1) * Q_res_s)
+
+    def expand(A, fill):
+        out = jnp.full((B, h // 2, 2, w // 2, 2) + A.shape[2:],
+                       fill, A.dtype)
+        out = out.at[:, :, 0, :, 0].set(
+            A.reshape((B, h // 2, w // 2) + A.shape[2:]))
+        return out.reshape((B, h * w) + A.shape[2:])
+
+    return expand(idx, 0), expand(vm, False), expand(Qd, 0.0)
+
+
 @jax.jit
 def _write_poses(T_arena, Twc_new, upd_idx):
     """Scatter optimized poses back into the arena; out-of-range indices
@@ -409,10 +477,20 @@ class FactorGraph:
             arena.feat[sel_j], arena.pos[sel_j],
             **kw,
         )
-        Qj, Qi, match_frac_j, match_frac_i = _gate_edges(
-            idx_i2j, idx_j2i, valid_match_j, valid_match_i,
-            Qii, Qjj, Qji, Qij, self.cfg.Q_conf,
-        )
+        if idx_i2j.shape[1] * 4 == Qii.shape[1]:
+            # subgrid edge match (matching.edge_query_subsample=2):
+            # gate on the subgrid, scatter into full-size edge arrays
+            h_img, w_img = arena.img_hw
+            (idx_i2j, idx_j2i, valid_match_j, valid_match_i, Qj, Qi,
+             match_frac_j, match_frac_i) = _gate_edges_sub(
+                idx_i2j, idx_j2i, valid_match_j, valid_match_i,
+                Qii, Qjj, Qji, Qij, self.cfg.Q_conf, h_img, w_img,
+            )
+        else:
+            Qj, Qi, match_frac_j, match_frac_i = _gate_edges(
+                idx_i2j, idx_j2i, valid_match_j, valid_match_i,
+                Qii, Qjj, Qji, Qij, self.cfg.Q_conf,
+            )
 
         mfj = np.asarray(match_frac_j)[:B]
         mfi = np.asarray(match_frac_i)[:B]
@@ -486,10 +564,20 @@ class FactorGraph:
         vm_i = reuse["valid_i"]
         Qjj = reuse["Qjj"]
         Qij = reuse["Qij"]
-        Qj, Qi, _mfj, _mfi = _gate_edges(
-            idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij,
-            self.cfg.Q_conf,
-        )
+        if idx_i2j.shape[1] * 4 == Qjj.shape[1]:
+            # warp direction matched on the edge query subgrid; the
+            # reused tracker direction stays full-grid (mixed-resolution
+            # edge — BA's points_subsample pattern reads the even pixels
+            # of both, so values are bitwise-identical either way)
+            h_img, w_img = arena.img_hw
+            idx_i2j, vm_j, Qj = _dir_weight_sub(
+                idx_i2j, vm_j, Qii, Qji, h_img, w_img)
+            Qi = _dir_weight(idx_j2i, Qjj, Qij)
+        else:
+            Qj, Qi, _mfj, _mfi = _gate_edges(
+                idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij,
+                self.cfg.Q_conf,
+            )
         # consecutive edges are never rejected (global_opt.py:73-76)
         if self.n_edges + 1 > self.max_edges:
             self._grow(self.n_edges + 1)

@@ -90,9 +90,13 @@ class InferenceEngine:
             from .models.quant import encode_int8, quantize_encoder_params
 
             self.qparams = quantize_encoder_params(params)
-            self._encode = jax.jit(
-                lambda p, img: encode_int8(p, self.qparams, img, model.cfg)
+            # qparams ride the ARGUMENT list: a closure would bake the
+            # ~0.3 GB of int8 weights into the executable as constants
+            # (relay compile-upload limit; CLAUDE.md)
+            _enc8 = jax.jit(
+                lambda p, q, img: encode_int8(p, q, img, model.cfg)
             )
+            self._encode = lambda p, img: _enc8(p, self.qparams, img)
         else:
             self.qparams = None
             self._encode = jax.jit(
@@ -272,6 +276,7 @@ class InferenceEngine:
                 return matching.match(
                     X11, X21, D11.reshape(1, h, w, f),
                     D21.reshape(1, h, w, f), cfg=self.match_cfg,
+                    query_subsample=self.match_cfg.edge_query_subsample,
                 )
 
             self._match_warp_jit = _warp
@@ -328,8 +333,13 @@ class InferenceEngine:
         D11 = jnp.concatenate([Dii, Djj], axis=0)
         D21 = jnp.concatenate([Dji, Dij], axis=0)
 
+        # factor-graph edges feed only the BA residual subset + the
+        # match-fraction gate -> the edge query subgrid applies
+        # (MatchingConfig.edge_query_subsample; global_opt scatters the
+        # subgrid outputs back into the full-size edge arrays)
         idx_1_to_2, valid_match_2 = matching.match(
-            X11, X21, D11, D21, cfg=self.match_cfg
+            X11, X21, D11, D21, cfg=self.match_cfg,
+            query_subsample=self.match_cfg.edge_query_subsample,
         )
         E = Xii.shape[0]
         b = E

@@ -111,6 +111,20 @@ class MatchingConfig(NamedTuple):
     # 2x2-replicate the verdict, saving a full-res row-bound gather; 1 =
     # per-pixel gate.  Only active under coarse_subsample=2.
     occlusion_subsample: int = 1
+    # Query stride for FACTOR-GRAPH EDGE matches only (consecutive +
+    # retrieval edges; the tracker always matches per-pixel).  2 = compute
+    # edge matches only on the (::2, ::2) query grid — EXACTLY the
+    # 2D-balanced residual subset BA consumes at the production
+    # local_opt.points_subsample=4 (ops/ba.py::subsample_points picks
+    # (::2, ::2)), so the BA inputs are BITWISE-IDENTICAL to matching
+    # every pixel and throwing 3/4 of the results away (each query's
+    # LM walk + refine is independent of the others).  The only semantic
+    # change is the min_match_frac gate, which becomes an unbiased
+    # ~49k-sample estimate instead of an exact count.  The engine applies
+    # it to the symmetric/warp edge paths only; add_factors scatters the
+    # subgrid back into the full-size edge arrays.  Enabled only when
+    # points_subsample == 4 (global_opt checks).
+    edge_query_subsample: int = 1
 
     @classmethod
     def from_dict(cls, d: dict) -> "MatchingConfig":
@@ -132,6 +146,7 @@ class MatchingConfig(NamedTuple):
             lm_table_subsample=int(d.get("lm_table_subsample", 1)),
             lm_subsample=int(d.get("lm_subsample", 0)),
             occlusion_subsample=int(d.get("occlusion_subsample", 1)),
+            edge_query_subsample=int(d.get("edge_query_subsample", 1)),
         )
 
 
@@ -561,7 +576,8 @@ def _q8_pair(D11, D21_flat, prenorm=True):
 
 
 def match(X11, X21, D11, D21, idx_1_to_2_init=None,
-          cfg: MatchingConfig = MatchingConfig()):
+          cfg: MatchingConfig = MatchingConfig(),
+          query_subsample: int = 1):
     """Full dense matching pipeline (matching.py:8-10, 52-90).
 
     X11, X21: (b, h, w, 3); D11, D21: (b, h, w, fdim).
@@ -570,8 +586,17 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
     With ``coarse_subsample=2`` the gather-bound coarse stages (LM
     projection + dilation>1 refine) run on the half-resolution query grid
     and only the final d=1 refine is per-pixel; see MatchingConfig.
+
+    ``query_subsample=2`` (factor-graph edges only — see
+    MatchingConfig.edge_query_subsample): the final refine and occlusion
+    gate also stay on the (::2, ::2) query grid and the outputs are
+    subgrid-sized — (b, h//2 * w//2) idx / valid.  Per-query results are
+    identical to the full run's values at those positions (every query's
+    LM walk + refine is independent); requires coarse_subsample=2.
     """
     b, h, w = X21.shape[:3]
+    qsub = (query_subsample == 2 and cfg.coarse_subsample == 2
+            and h % 2 == 0 and w % 2 == 0 and cfg.radius > 0)
     lmt = (cfg.lm_table_subsample == 2 and h % 2 == 0 and w % 2 == 0)
     rays_img, pts3d_norm, p_init = prep_for_iter_proj(
         X11, X21, idx_1_to_2_init, table_subsample=2 if lmt else 1
@@ -624,9 +649,10 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
         # coarse refine walk on the half grid (queries are true even-pixel
         # descriptors; the table stays full-resolution)
         p1c = p1.astype(jnp.int32)
-        if cfg.radius > 0 and cfg.dilation_max > 1:
+        if cfg.radius > 0:
             D21_h = D21_r.reshape(b, h, w, -1)[:, ::2, ::2].reshape(
                 b, h2 * w2, -1)
+        if cfg.radius > 0 and cfg.dilation_max > 1:
             # coarsest dilation at the full radius (coverage), inner
             # dilations at coarse_radius (gather bytes)
             sched = cfg.dilation_schedule or \
@@ -660,6 +686,36 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
                             coarse_bits=cfg.coarse_bits, dilation_min=dd,
                             u_pack=up,
                         )
+        if qsub:
+            # -- subgrid output path (edge_query_subsample=2) -----------
+            # occlusion gate on the half grid (the occlusion_subsample=2
+            # computation, minus the 2x2 replication), then the final
+            # refine directly on the half-grid queries: outputs stay on
+            # the (::2, ::2) grid — exactly BA's points_subsample=4
+            # residual subset, so per-query values are identical to the
+            # full run's at those positions
+            idxh = pixel_to_lin(jnp.clip(
+                p1.astype(jnp.int32),
+                0, jnp.asarray([w - 1, h - 1], jnp.int32)), w)
+            X11_flat = X11.reshape(b, h * w, 3)
+            X11_at = jnp.take_along_axis(X11_flat, idxh[..., None], axis=1)
+            X21_h = X21.reshape(b, h, w, 3)[:, ::2, ::2].reshape(
+                b, h2 * w2, 3)
+            dists_h = jnp.linalg.norm(X11_at - X21_h, axis=-1)
+            valid_h = valid_proj2 & (dists_h < cfg.dist_thresh)
+            if cfg.final_radius < 0:
+                p1f = p1c
+            else:
+                r_final = cfg.final_radius if cfg.final_radius > 0 \
+                    else cfg.radius
+                p1f = refine_matches(
+                    D11_r, D21_h, p1c,
+                    radius=r_final, dilation_max=1,
+                    coarse_bits=cfg.coarse_bits,
+                    u_pack=(2 * r_final + 1) if r_final <= 2 else 2,
+                )
+            return pixel_to_lin(p1f, w), valid_h[..., None]
+
         occl_half = cfg.occlusion_subsample == 2
         if occl_half:
             # occlusion gate where the LM positions natively live (half

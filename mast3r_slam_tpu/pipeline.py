@@ -99,6 +99,16 @@ class SLAMSystem:
             self.arena = self.arena.replace(K=jnp.array(self.K))
         if backend_device is None:
             backend_device = cfg.get("backend_device", None)
+        # matching.edge_query_subsample=2 computes edge matches only on
+        # the (::2, ::2) grid — BITWISE-identical BA inputs iff BA's
+        # residual pattern is exactly that grid (points_subsample=4);
+        # any other stride would read never-computed (invalid) pixels
+        # and silently lose residuals
+        eqs = int(cfg.get("matching", {}).get("edge_query_subsample", 1))
+        if eqs == 2 and int(cfg["local_opt"].get("points_subsample", 1)) != 4:
+            print("[warn] matching.edge_query_subsample=2 requires "
+                  "local_opt.points_subsample=4 (BA would drop residuals "
+                  "at other strides) — check the config")
         # local_opt.sharded_ba: null | edge | map — distributed BA over all
         # devices (parallel/sharded_ba.py via FactorGraph(mesh=...))
         shard_mode = cfg["local_opt"].get("sharded_ba") or None

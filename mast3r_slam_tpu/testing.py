@@ -126,19 +126,26 @@ def world_descriptors(X_world, f: int = 24, base_wavelength: float = 0.35):
 
 
 def make_trajectory(n_frames: int, scale: float = 0.02, seed: int = 0,
-                    loop: bool = False):
+                    loop: bool = False, cycles: int = 1):
     """Smooth bounded Sim(3) trajectory (first pose ~ identity): a
     multi-frequency sinusoidal path whose amplitude scales with
     ``scale * n_frames`` but whose per-frame motion stays bounded — the
     camera always keeps the surface in view, so clips of any length stay
     trackable.  ``loop`` closes the path (returns to the start) for
-    loop-closure tests."""
+    loop-closure tests.
+
+    ``cycles`` divides the amplitude and multiplies the frequencies by
+    the same factor: per-frame motion is unchanged (~scale per dof) but
+    the path stays within amp/cycles of the scene and sweeps it
+    ``cycles`` times — long clips remain trackable AND genuinely revisit
+    earlier views (the realistic loop-closure cadence fixture,
+    scripts/make_rates.py)."""
     rng = np.random.default_rng(seed)
-    amp = scale * n_frames / (2 * np.pi)
+    amp = scale * n_frames / (2 * np.pi * max(cycles, 1))
     # per-dof amplitudes: translation, rotation, log-scale
     a = amp * np.array([1.0, 0.8, 0.6, 0.25, 0.25, 0.25, 0.08])
     phase = rng.uniform(0, 2 * np.pi, 7)
-    freq = np.where(np.arange(7) % 2 == 0, 1.0, 2.0)
+    freq = np.where(np.arange(7) % 2 == 0, 1.0, 2.0) * max(cycles, 1)
     if loop:
         freq = np.round(freq)  # integer cycles -> closed path
     ts = np.arange(n_frames) / max(n_frames - 1, 1)
@@ -151,11 +158,12 @@ class SyntheticSequence:
     """Rendered clip with ground truth, presented like a dataset."""
 
     def __init__(self, n_frames=20, h=48, w=64, seed=0, traj_scale=0.02,
-                 loop=False, scene="smooth"):
+                 loop=False, scene="smooth", cycles=1):
         self.h, self.w = h, w
         self.K = make_K(h, w)
         self.scene = scene
-        self.T_WC = make_trajectory(n_frames, traj_scale, seed, loop)
+        self.T_WC = make_trajectory(n_frames, traj_scale, seed, loop,
+                                    cycles)
         self.images = []
         self.X_cam = []
         self.X_world = []

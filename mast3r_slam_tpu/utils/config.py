@@ -83,6 +83,8 @@ REFERENCE_EXACT_OVERRIDES = {
         "lm_subsample": 0,
         "lm_table_subsample": 1,
         "occlusion_subsample": 1,
+        # factor-graph edges matched at every pixel
+        "edge_query_subsample": 1,
     },
     "tracking": {
         # per-component huber weights + all pixels in the GN point set

@@ -33,14 +33,19 @@ def main():
     p.add_argument("--traj-scale", type=float, default=0.35,
                    help="trajectory amplitude scale (larger scene -> "
                         "realistic keyframe cadence)")
+    p.add_argument("--cycles", type=int, default=0,
+                   help="scene sweeps (0 = auto ~ frames/40: bounded "
+                        "amplitude + genuine revisits)")
     args = p.parse_args()
+    cycles = args.cycles or max(1, round(args.frames / 40))
     h, w = args.res
 
     clip = pathlib.Path(args.clip)
     subprocess.run(
         [sys.executable, str(ROOT / "scripts/make_synthetic_clip.py"),
          str(clip), str(args.frames), str(h), str(w),
-         "--loop", "--traj-scale", str(args.traj_scale)],
+         "--loop", "--traj-scale", str(args.traj_scale),
+         "--cycles", str(cycles)],
         check=True, cwd=ROOT,
     )
     rates_path = clip / "rates.json"
@@ -56,10 +61,23 @@ def main():
     )
     with open(rates_path) as f:
         rates = json.load(f)
+    # sanity gate: a drive that lost tracking (reloc storm / diverged
+    # trajectory) measures a RELOC cadence, not the protocol cadence —
+    # refuse to produce the bench artifact from it
+    sys.path.insert(0, str(ROOT))
+    from mast3r_slam_tpu.evaluate import ate_rmse
+
+    ate = ate_rmse(clip / "gt.txt", ROOT / "logs/rates_run" /
+                   f"{clip.name}.txt", max_diff=0.05)
+    rates["ate_rmse"] = round(ate, 5)
+    if ate > 0.2:
+        raise SystemExit(
+            f"rates drive diverged (ATE {ate:.3f} m) — not writing "
+            f"{args.out}; adjust --traj-scale/--cycles")
     rates["provenance"] = (
         f"scripts/make_rates.py: {args.frames}-frame closed-loop clip at "
-        f"{h}x{w}, oracle engine + oracle ASMK retrieval, "
-        f"config/eval_no_calib.yaml"
+        f"{h}x{w} ({cycles} scene sweeps), oracle engine + oracle ASMK "
+        f"retrieval, config/eval_no_calib.yaml"
     )
     out = ROOT / args.out
     with open(out, "w") as f:

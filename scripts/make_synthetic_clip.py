@@ -35,6 +35,9 @@ def main():
                    choices=["smooth", "cliff", "occluder"])
     p.add_argument("--traj-scale", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cycles", type=int, default=1,
+                   help="trajectory sweeps of the scene (bounded "
+                        "amplitude for long clips; see make_trajectory)")
     args = p.parse_args()
     out = pathlib.Path(args.out)
 
@@ -42,7 +45,8 @@ def main():
 
     seq = SyntheticSequence(n_frames=args.n_frames, h=args.h, w=args.w,
                             seed=args.seed, traj_scale=args.traj_scale,
-                            loop=args.loop, scene=args.scene)
+                            loop=args.loop, scene=args.scene,
+                            cycles=args.cycles)
     out.mkdir(parents=True, exist_ok=True)
     import cv2
 

@@ -420,3 +420,184 @@ def test_pose_warp_q_weight_ba_sensitivity():
     assert err_fresh < 0.5 * err_init, (err_fresh, err_init)
     assert err_warp < 0.5 * err_init, (err_warp, err_init)
     assert err_warp < 1.5 * err_fresh + 1e-3, (err_warp, err_fresh)
+
+
+def test_edge_query_subsample_match_values_identical():
+    """matching.match(query_subsample=2) must return EXACTLY the full
+    run's values at the (::2, ::2) query positions (each query's LM walk
+    + refine is independent of the others)."""
+    from mast3r_slam_tpu.testing import make_K, render_view
+
+    h, w = 64, 96
+    K = make_K(h, w)
+    T0 = sim3.identity()
+    T1 = sim3.exp(jnp.asarray([0.05, -0.03, 0.02, 0.03, -0.02, 0.03, 0.0],
+                              jnp.float32))
+    _, Xc0, Xw0 = render_view(T0, h, w, K, "occluder")
+    _, Xc1, Xw1 = render_view(T1, h, w, K, "occluder")
+    X11 = jnp.asarray(Xc0.reshape(1, h, w, 3))
+    X21 = jnp.asarray(Xc1.reshape(1, h, w, 3))
+    D11 = jnp.asarray(world_descriptors(Xw0).reshape(1, h, w, -1))
+    D21 = jnp.asarray(world_descriptors(Xw1).reshape(1, h, w, -1))
+    cfg = matching.MatchingConfig(**PROD_MATCH)
+
+    idx_f, valid_f = matching.match(X11, X21, D11, D21, cfg=cfg)
+    idx_s, valid_s = matching.match(X11, X21, D11, D21, cfg=cfg,
+                                    query_subsample=2)
+    assert idx_s.shape == (1, (h // 2) * (w // 2))
+    idx_f_even = np.asarray(idx_f).reshape(1, h, w)[:, ::2, ::2].reshape(
+        1, -1)
+    valid_f_even = np.asarray(valid_f[..., 0]).reshape(
+        1, h, w)[:, ::2, ::2].reshape(1, -1)
+    np.testing.assert_array_equal(np.asarray(idx_s), idx_f_even)
+    np.testing.assert_array_equal(np.asarray(valid_s[..., 0]),
+                                  valid_f_even)
+
+
+def test_edge_query_subsample_ba_bitwise():
+    """Through the FactorGraph: subgrid edge matches scattered into the
+    edge store must give a BITWISE-identical BA solve to full-grid
+    matches at points_subsample=4 (BA reads exactly the even pixels)."""
+    from mast3r_slam_tpu.frame import make_arena
+    from mast3r_slam_tpu.global_opt import FactorGraph
+    from mast3r_slam_tpu.testing import make_K, render_view
+
+    h, w = 48, 64
+    hw = h * w
+    K = make_K(h, w)
+    T0 = sim3.identity()
+    T1 = sim3.exp(jnp.asarray([0.05, -0.03, 0.02, 0.02, -0.02, 0.03, 0.0],
+                              jnp.float32))
+    _, Xc0, Xw0 = render_view(T0, h, w, K, "smooth")
+    _, Xc1, Xw1 = render_view(T1, h, w, K, "smooth")
+    D0 = world_descriptors(Xw0).reshape(1, h, w, -1)
+    D1 = world_descriptors(Xw1).reshape(1, h, w, -1)
+    rng = np.random.default_rng(3)
+    Q = lambda seed: jnp.asarray(  # noqa: E731
+        (3.0 + rng.standard_normal(hw) * 0.2).astype(np.float32)
+    ).reshape(1, hw, 1)
+    Qii, Qjj, Qji, Qij = Q(0), Q(1), Q(2), Q(3)
+
+    class Eng:
+        """match_symmetric over the true rendered pointmaps with a
+        configurable edge query grid."""
+
+        def __init__(self, qsub):
+            self.qsub = qsub
+            self.match_cfg = matching.MatchingConfig(**PROD_MATCH)
+
+        def match_symmetric(self, fi, pi, fj, pj, params=None):
+            X11 = jnp.concatenate(
+                [jnp.asarray(Xc0.reshape(1, h, w, 3)),
+                 jnp.asarray(Xc1.reshape(1, h, w, 3))])
+            X21r = sim3.act(sim3.rel(T1, T0),
+                            jnp.asarray(Xc0.reshape(-1, 3)))
+            X12r = sim3.act(sim3.rel(T0, T1),
+                            jnp.asarray(Xc1.reshape(-1, 3)))
+            X21 = jnp.concatenate(
+                [X12r.reshape(1, h, w, 3), X21r.reshape(1, h, w, 3)])
+            D11 = jnp.concatenate([jnp.asarray(D0), jnp.asarray(D1)])
+            D21 = jnp.concatenate([jnp.asarray(D1), jnp.asarray(D0)])
+            idx, valid = matching.match(
+                X11, X21, D11, D21, cfg=self.match_cfg,
+                query_subsample=2 if self.qsub else 1,
+            )
+            return (idx[:1], idx[1:], valid[:1], valid[1:],
+                    Qii, Qjj, Qji, Qij)
+
+    def run(qsub):
+        cfg = load_config("config/eval_no_calib.yaml")
+        assert int(cfg["local_opt"]["points_subsample"]) == 4
+        arena = make_arena(4, h, w, 16, 32)
+        arena = arena.replace(
+            X=arena.X.at[0].set(jnp.asarray(Xc0))
+                     .at[1].set(jnp.asarray(Xc1)),
+            C=arena.C.at[:2].set(10.0),
+            N=arena.N.at[:2].set(1),
+            T_WC=arena.T_WC.at[0].set(T0).at[1].set(
+                sim3.mul(sim3.exp(jnp.asarray(
+                    [0.03, -0.02, 0.02, 0.01, -0.01, 0.02, 0.0],
+                    jnp.float32)), T1)),
+            n_size=jnp.asarray(2, jnp.int32),
+        )
+        g = FactorGraph(Eng(qsub), hw, cfg)
+        assert g.add_factors(arena, [0], [1], 0.0)
+        res = g.solve_poses(arena, "ray")
+        assert res is not None
+        upd, Twc_new, _ = res
+        return np.asarray(Twc_new), np.asarray(g.Q_ii2jj[0])
+
+    T_full, Qrow_full = run(False)
+    T_sub, Qrow_sub = run(True)
+    # the Q rows differ only at odd pixels (zeros in the subgrid store);
+    # at even pixels (BA's s=4 pattern) they are identical
+    Qf = Qrow_full.reshape(h, w)[::2, ::2]
+    Qs = Qrow_sub.reshape(h, w)[::2, ::2]
+    np.testing.assert_array_equal(Qs, Qf)
+    np.testing.assert_array_equal(T_sub, T_full)
+
+
+def test_pose_warp_edge_query_subsample_even_pixels_identical():
+    """The pose-warped consecutive edge under edge_query_subsample=2:
+    stored idx/valid/Q must equal the full-grid run at the even pixels
+    (BA's residual pattern) with odd pixels invalid."""
+    from mast3r_slam_tpu.frame import make_arena
+    from mast3r_slam_tpu.global_opt import FactorGraph
+    from mast3r_slam_tpu.ops.matching import _q8_pair
+    from mast3r_slam_tpu.testing import make_K, render_view
+
+    h, w = 64, 96
+    hw = h * w
+    K = make_K(h, w)
+    T0 = sim3.identity()
+    T1 = sim3.exp(jnp.asarray([0.05, -0.03, 0.02, 0.03, -0.02, 0.03, 0.0],
+                              jnp.float32))
+    _, Xc0, Xw0 = render_view(T0, h, w, K, "occluder")
+    _, Xc1, Xw1 = render_view(T1, h, w, K, "occluder")
+    D0 = world_descriptors(Xw0)
+    D1 = world_descriptors(Xw1)
+    D8_1, D8_0 = _q8_pair(jnp.asarray(D1[None]), jnp.asarray(D0[None]))
+    rng = np.random.default_rng(7)
+    Qa = jnp.asarray(3.0 + 0.3 * rng.standard_normal(hw).astype(
+        np.float32)).reshape(1, hw, 1)
+    Qb = jnp.asarray(3.0 + 0.3 * rng.standard_normal(hw).astype(
+        np.float32)).reshape(1, hw, 1)
+
+    def run(eqs):
+        from mast3r_slam_tpu.inference import InferenceEngine
+
+        class StubEngine:
+            match_cfg = matching.MatchingConfig(
+                **PROD_MATCH, edge_query_subsample=eqs)
+            match_arrays_warp = InferenceEngine.match_arrays_warp
+
+        cfg = load_config("config/eval_no_calib.yaml")
+        arena = make_arena(4, h, w, 16, 32)
+        arena = arena.replace(
+            X=arena.X.at[0].set(jnp.asarray(Xc0))
+                     .at[1].set(jnp.asarray(Xc1)),
+            T_WC=arena.T_WC.at[0].set(T0).at[1].set(T1),
+            n_size=jnp.asarray(2, jnp.int32),
+        )
+        reuse = {
+            "pair": (0, 1),
+            "idx_j2i": jnp.zeros((1, hw), jnp.int32),
+            "valid_i": jnp.ones((1, hw, 1), bool),
+            "Qjj": Qa, "Qij": Qb,
+            "desc8_frame": D8_1, "desc8_kf": D8_0,
+        }
+        g = FactorGraph(StubEngine(), hw, cfg)
+        assert g._add_consecutive_reused(arena, 0, 1, reuse)
+        return (np.asarray(g.idx_ii2jj[0]), np.asarray(g.valid_match_j[0]),
+                np.asarray(g.Q_ii2jj[0]))
+
+    idx_f, vm_f, Q_f = run(1)
+    idx_s, vm_s, Q_s = run(2)
+    even = lambda A: A.reshape(h, w)[::2, ::2]
+    np.testing.assert_array_equal(even(idx_s), even(idx_f))
+    np.testing.assert_array_equal(even(vm_s), even(vm_f))
+    np.testing.assert_array_equal(even(Q_s), even(Q_f))
+    # odd pixels of the subgrid store are invalid (never consumed by BA)
+    odd_mask = np.ones((h, w), bool)
+    odd_mask[::2, ::2] = False
+    assert not vm_s.reshape(h, w)[odd_mask].any()

@@ -59,8 +59,11 @@ def cfg():
     cfg["dataset"]["img_size"] = HW[1]
     # the torch engine exports no q8 descriptor tables, so the Flax drive
     # must also use the fresh-decode consecutive edge for step-identical
-    # control flow
+    # control flow; likewise the torch reference adapters match edges at
+    # every pixel, so the Flax engine must too (the subgrid fast path is
+    # separately proven bitwise-identical for BA in test_adversarial)
     cfg["local_opt"]["reuse_warp"] = False
+    cfg["matching"]["edge_query_subsample"] = 1
     return cfg
 
 
