@@ -49,8 +49,20 @@ def solve_spd_small(H, g):
     solve exactly for SPD inputs.  Returns (x, ok) where ok is False if a
     pivot is non-positive or non-finite (singular / indefinite H — the
     caller's Cholesky-failure path, reference tracker.py:72-93).
+
+    Jacobi pre-scaling: the Sim(3) normal equations mix dof scales by
+    orders of magnitude when scene depths are large (translation rows ~1,
+    rotation/scale rows ~depth^2), and the unscaled fp32 factorization
+    then loses its pivots to cancellation — measured in-pipeline at
+    384x512 on a wide synthetic scene: frames with match_frac 0.82
+    failed ok=False and threw the tracker into RELOC.  Scaling by
+    D^{-1/2} (exact in infinite precision; the BA solver already does
+    this, ops/ba.py) brings every pivot to ~1.
     """
     n = H.shape[0]
+    dscale = 1.0 / jnp.sqrt(jnp.clip(jnp.diagonal(H), 1e-30, None))
+    g = g * dscale
+    H = H * dscale[:, None] * dscale[None, :]
     L = [[None] * n for _ in range(n)]
     d = [None] * n
     dinv = [None] * n
@@ -77,8 +89,8 @@ def solve_spd_small(H, g):
     # diagonal + backward: L^T x = D^{-1} z
     x = [None] * n
     for i in reversed(range(n)):
-        s = z[i] * dinv[i]
+        xi = z[i] * dinv[i]
         for k in range(i + 1, n):
-            s = s - L[k][i] * x[k]
-        x[i] = s
-    return jnp.stack(x), ok
+            xi = xi - L[k][i] * x[k]
+        x[i] = xi
+    return jnp.stack(x) * dscale, ok

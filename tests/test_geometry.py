@@ -116,3 +116,28 @@ def test_solve_spd_small_matches_cholesky():
     x, ok = solve_spd_small(H_bad, jnp.ones((7,)))
     assert not bool(ok)
     assert bool(jnp.all(jnp.isfinite(x)))
+
+
+def test_solve_spd_small_badly_scaled():
+    """Jacobi pre-scaling regression: a Sim(3)-like normal-equation matrix
+    whose rotation/scale rows are ~depth^2 larger than the translation
+    rows (depth ~300 -> condition ~1e10, beyond fp32) must still solve —
+    the unscaled fp32 LDL^T loses its pivots exactly like the in-pipeline
+    failures at production resolution (frames with match_frac 0.82
+    returning ok=False)."""
+    import numpy as np
+
+    from mast3r_slam_tpu.ops.robust import solve_spd_small
+
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((40, 7))
+    col = np.array([1.0, 1.0, 1.0, 300.0, 300.0, 300.0, 300.0])
+    B = B * col[None, :]
+    H64 = (B.T @ B).astype(np.float64)
+    g64 = rng.standard_normal(7)
+    x64 = np.linalg.solve(H64, g64)
+
+    x, ok = solve_spd_small(jnp.asarray(H64, jnp.float32),
+                            jnp.asarray(g64, jnp.float32))
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(x), x64, rtol=2e-2, atol=1e-8)
