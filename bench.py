@@ -264,6 +264,25 @@ def main():
                          "kf_add_factors(sym decode+match, 1 edge)",
                          lambda c: c[0][0, 0, 0])
 
+    # retrieval proposals arrive per KEYFRAME round and add_factors
+    # batches them into ONE 2E-batch decode (global_opt.py) — at the
+    # measured cadence (proposal_rate/kf_rate ~ 1.7 proposals/round) the
+    # per-proposal cost is sub-linear in E.  Measure E=2 and interpolate
+    # the per-round cost at the measured mean batch size.
+    feat_k2 = jnp.concatenate([feat_k, feat_k + 0.02], axis=0)
+    pos_k2 = jnp.concatenate([pos_k, pos_k], axis=0)
+
+    def sym2_step(params, carry):
+        fi, fj = carry
+        outs = engine._match_symmetric_impl(params, fi, pos_k2, fj, pos_k2)
+        consume = sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+        fi = fi + 1e-12 * consume
+        return (fi, fj)
+
+    sym2_ms = timed_chain(sym2_step, (feat_k2, feat_k2 + 0.01),
+                          "kf_add_factors(sym decode+match, 2 edges)",
+                          lambda c: c[0][0, 0, 0])
+
     # production consecutive-edge path (local_opt.reuse_track_matches +
     # reuse_warp): the tracker's direction is reused AND the completing
     # i->j direction is matched DECODE-FREE from canonical pointmaps +
@@ -590,9 +609,23 @@ def main():
     # exceeds the device frame.  Every keyframe round pays kf_edge + BA +
     # one retrieval_database.update; every retrieval PROPOSAL pays the
     # symmetric decode+match (gating happens after the decode).
+    # symmetric-edge term: proposals batch into one decode per keyframe
+    # round (mean batch e_mean = proposal_rate / kf_rate); the marginal
+    # cost of an extra edge in the batch is sym2 - sym1.  When e_mean <=
+    # 1 (some rounds have no proposal) fall back to the conservative
+    # per-proposal pricing.
+    marg_ms = max(sym2_ms - sym_ms, 0.0)
+    e_mean = retr_rate / kf_rate if kf_rate > 0 else 0.0
+    if e_mean > 1.0:
+        sym_frame_ms = kf_rate * (sym_ms + (e_mean - 1.0) * marg_ms)
+        sym_model = (f"{kf_rate:.2f}*({sym_ms:.1f}+"
+                     f"{e_mean - 1.0:.2f}*{marg_ms:.1f}) sym-batched")
+    else:
+        sym_frame_ms = retr_rate * sym_ms
+        sym_model = f"{retr_rate:.2f}*{sym_ms:.1f} sym"
     protocol_ms = max(frame_ms, host_ms) \
         + kf_rate * (kfedge_ms + ba_ms + retrieval_ms) \
-        + retr_rate * sym_ms
+        + sym_frame_ms
     protocol_fps = 1e3 / protocol_ms
     # the assumed-rates composition is always reported alongside, so the
     # measured-rates headline is auditable against the old fixed weights
@@ -604,7 +637,7 @@ def main():
     log(f"protocol: max({frame_ms:.1f} enc+track, {host_ms:.1f} host "
         f"prefetch) + {kf_rate:.2f}*({kfedge_ms:.1f} kf_edge + "
         f"{ba_ms:.1f} ba + {retrieval_ms:.1f} retrieval) + "
-        f"{retr_rate:.2f}*{sym_ms:.1f} sym = "
+        f"{sym_model} = "
         f"{protocol_ms:.1f} ms -> {protocol_fps:.2f} FPS "
         f"(single-thread eval-protocol semantics, rates {rates_src})")
 
@@ -680,7 +713,7 @@ def main():
         # retrieval host work + the sym decode run on the backend
         # thread/chip too, but count them serially (conservative)
         p2_ms = max(overlap_ms, frame_ms, host_ms) \
-            + kf_rate * (ba_ms + retrieval_ms) + retr_rate * sym_ms
+            + kf_rate * (ba_ms + retrieval_ms) + sym_frame_ms
         protocol_fps_2chip = 1e3 / p2_ms
         log(f"  2chip: overlapped frontend+backend wall {overlap_ms:.1f} "
             f"ms/frame -> protocol {p2_ms:.1f} ms = "
@@ -703,6 +736,7 @@ def main():
             "create_frame_host": round(host_ms, 2),
             "kf_edge_reused": round(kfedge_ms, 2),
             "retrieval_edge_sym": round(sym_ms, 2),
+            "retrieval_edge_sym2": round(sym2_ms, 2),
             "retrieval_ms": round(retrieval_ms, 2),
             "kf_ba_solve": round(ba_ms, 2),
             "kf_rate": kf_rate,

