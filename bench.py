@@ -133,9 +133,18 @@ def main():
     # ~1 ms/frame fewer weight reads; see cast_trunk_params_bf16)
     params = engine.params
 
-    def timed_chain(make_step, init_carry, label, readback):
+    def timed_chain(make_step, init_carry, label, readback, samples=3):
         """(t_N - t_1)/(N-1) with data-dependent chaining + scalar
-        readback inside one jit."""
+        readback inside one jit.
+
+        Hardened against relay spikes (VERDICT r4 weak #1: a single
+        spiked t1 sample made BENCH_r04's encode stage NEGATIVE and
+        inflated the official headline): t1 and tN are each the MEDIAN
+        of `samples` runs, and a non-positive or implausibly small
+        per-step time triggers a full re-sample.  A stage that stays
+        non-positive after 3 attempts aborts the bench — a corrupted
+        record must not be emitted.
+        """
         def chained(n):
             @jax.jit
             def f(params, carry):
@@ -150,16 +159,29 @@ def main():
         float(f1(params, init_carry))
         log(f"  {label}: compiled+first in {time.time() - t0:.1f}s")
         float(fN(params, init_carry))  # fN warmup
-        t0 = time.time()
-        float(f1(params, init_carry))
-        t1 = time.time() - t0
-        t0 = time.time()
-        float(fN(params, init_carry))
-        tN = time.time() - t0
-        ms = (tN - t1) / (N - 1) * 1e3
-        log(f"  {label}: {ms:.1f} ms/step  (t1={t1*1e3:.0f}ms "
-            f"tN={tN*1e3:.0f}ms; dispatch overhead excluded)")
-        return ms
+
+        def one(f):
+            t0 = time.time()
+            float(f(params, init_carry))
+            return time.time() - t0
+
+        for attempt in range(3):
+            # interleave the t1/tN samples so slow relay drift cancels
+            pairs = [(one(f1), one(fN)) for _ in range(samples)]
+            t1 = sorted(p[0] for p in pairs)[samples // 2]
+            tN = sorted(p[1] for p in pairs)[samples // 2]
+            ms = (tN - t1) / (N - 1) * 1e3
+            if ms > 1e-3:  # >1 us/step: plausible for every stage here
+                log(f"  {label}: {ms:.2f} ms/step  (median of {samples}: "
+                    f"t1={t1*1e3:.0f}ms tN={tN*1e3:.0f}ms; dispatch "
+                    f"overhead excluded)")
+                return ms
+            log(f"  {label}: REJECTED sample (per-step {ms:.3f} ms <= 0 "
+                f"— relay spike on t1?), re-sampling "
+                f"(attempt {attempt + 2}/3)")
+        raise RuntimeError(
+            f"bench stage '{label}' non-positive after 3 median-of-"
+            f"{samples} attempts — refusing to emit a corrupted record")
 
     key = jax.random.PRNGKey(1)
     img = jax.random.normal(key, (1, h, w, 3), jnp.float32)
@@ -172,6 +194,19 @@ def main():
     # restores the bf16 encoder (main.py's default eval path).
     use_int8_enc = (os.environ.get("BENCH_INT8_ENC", "1") == "1"
                     and not small)
+
+    # bf16 encoder (main.py's default eval path) is ALWAYS measured so
+    # cross-round and cross-entry-point comparisons stay apples-to-apples
+    # (ADVICE r4 #3); the int8 stage additionally runs unless disabled and
+    # parameterizes the headline (main_quantized.py / fork-TRT operating
+    # point — the variant is named in the headline log line and JSON).
+    def enc_bf16_step(params, img):
+        feat, pos = model.apply(params, img, method=MASt3R.encode)
+        return img + 1e-12 * jnp.mean(feat)
+
+    enc_bf16_ms = timed_chain(enc_bf16_step, img, "encoder(bf16)",
+                              lambda c: c[0, 0, 0, 0])
+    enc_int8_ms = None
     if use_int8_enc:
         from mast3r_slam_tpu.models.quant import (encode_int8,
                                                   quantize_encoder_params)
@@ -183,15 +218,12 @@ def main():
             feat, pos = encode_int8(params, q, im, cfg)
             return (im + 1e-12 * jnp.mean(feat), q)
 
-        enc_ms = timed_chain(enc_step, (img, qparams_b), "encoder(int8)",
-                             lambda c: c[0][0, 0, 0, 0])
+        enc_int8_ms = timed_chain(enc_step, (img, qparams_b),
+                                  "encoder(int8)",
+                                  lambda c: c[0][0, 0, 0, 0])
+        enc_ms = enc_int8_ms
     else:
-        def enc_step(params, img):
-            feat, pos = model.apply(params, img, method=MASt3R.encode)
-            return img + 1e-12 * jnp.mean(feat)
-
-        enc_ms = timed_chain(enc_step, img, "encoder",
-                             lambda c: c[0, 0, 0, 0])
+        enc_ms = enc_bf16_ms
 
     # --- track step (decode + match + GN) --------------------------------
     feat_k, pos_k = engine.encode(img)
@@ -240,8 +272,11 @@ def main():
 
     frame_ms = enc_ms + track_ms
     fps = 1e3 / frame_ms
-    log(f"frame: {enc_ms:.1f} (encode) + {track_ms:.1f} (track) = "
-        f"{frame_ms:.1f} ms -> {fps:.2f} FPS (tracked)")
+    enc_variant = "int8" if use_int8_enc else "bf16"
+    log(f"frame: {enc_ms:.1f} (encode[{enc_variant}]) + {track_ms:.1f} "
+        f"(track) = {frame_ms:.1f} ms -> {fps:.2f} FPS (tracked, "
+        f"{enc_variant} encoder; bf16 encoder measured "
+        f"{enc_bf16_ms:.1f} ms)")
 
     # --- whole-protocol composition (VERDICT r1 weak #3) -----------------
     # The eval protocol runs single_thread: every new keyframe triggers
@@ -722,7 +757,7 @@ def main():
         log("  2chip: skipped (single device harness; stage runs when "
             ">= 2 devices exist)")
 
-    print(json.dumps({
+    record = {
         "metric": "protocol_fps_per_chip",
         "value": round(protocol_fps, 3),
         "unit": "frames/s",
@@ -732,7 +767,9 @@ def main():
         "protocol_fps_2chip": (round(protocol_fps_2chip, 3)
                                if protocol_fps_2chip else None),
         "breakdown_ms": {
-            "encode": round(enc_ms, 2), "track": round(track_ms, 2),
+            "encode": round(enc_ms, 2),
+            "encode_bf16": round(enc_bf16_ms, 2),
+            "track": round(track_ms, 2),
             "create_frame_host": round(host_ms, 2),
             "kf_edge_reused": round(kfedge_ms, 2),
             "retrieval_edge_sym": round(sym_ms, 2),
@@ -746,7 +783,18 @@ def main():
             "rates_src": rates_src,
             "int8_encoder": use_int8_enc,
         },
-    }))
+    }
+    # final honesty gate (VERDICT r4 next #2): a breakdown containing a
+    # non-positive stage time is physically impossible — refuse to emit it
+    stage_keys = ("encode", "encode_bf16", "track", "create_frame_host",
+                  "kf_edge_reused", "retrieval_edge_sym",
+                  "retrieval_edge_sym2", "retrieval_ms", "kf_ba_solve")
+    bad = {k: record["breakdown_ms"][k] for k in stage_keys
+           if record["breakdown_ms"].get(k, 1) <= 0}
+    if bad:
+        raise RuntimeError(f"non-positive stage times {bad} — refusing "
+                           f"to emit a corrupted bench record")
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -151,32 +151,25 @@ def load_tum_trajectory(path):
 
 
 def associate(t_a, t_b, max_diff=0.01):
-    """Unique nearest-timestamp association, evo semantics.
+    """Nearest-timestamp association with EXACT evo semantics.
 
-    Matches ``evo.core.sync.associate_trajectories``: default window
-    0.01 s and each timestamp used at most once — candidate pairs are
-    taken best-diff-first so a single b-stamp can never score against two
-    a-stamps (the reference protocol scores with ``evo_ape``,
-    scripts/eval_tum.sh:46-50; a looser/greedy association would accept
-    pairs evo rejects and make ATE numbers non-comparable)."""
-    ia_all = np.arange(len(t_a))
-    jb = np.asarray([int(np.argmin(np.abs(t_b - ta))) for ta in t_a])
-    diffs = np.abs(np.asarray(t_b)[jb] - np.asarray(t_a))
-    order = np.argsort(diffs, kind="stable")
-    used_b = set()
-    pairs = []
-    for k in order:
-        if diffs[k] > max_diff:
-            break
-        if int(jb[k]) in used_b:
-            continue
-        used_b.add(int(jb[k]))
-        pairs.append((int(ia_all[k]), int(jb[k])))
-    pairs.sort()
-    if not pairs:
-        return np.asarray([], int), np.asarray([], int)
-    ia, ib = zip(*pairs)
-    return np.asarray(ia, int), np.asarray(ib, int)
+    Mirrors ``evo.core.sync.matching_time_indices`` (the machinery under
+    ``evo_ape``, the reference protocol's scorer — scripts/eval_tum.sh:
+    46-50): iterate over the SHORTER trajectory's stamps, pair each with
+    its single nearest stamp in the longer one when within ``max_diff``
+    (default 0.01 s), and do NOT enforce uniqueness — evo doesn't either,
+    so on dense/ambiguous stamp sets a longer-side stamp may serve two
+    pairs, exactly as evo_ape would score it (ADVICE r4 #2: the previous
+    unique-greedy variant could drop pairs evo keeps)."""
+    t_a = np.asarray(t_a, np.float64)
+    t_b = np.asarray(t_b, np.float64)
+    swap = len(t_a) > len(t_b)
+    t_s, t_l = (t_b, t_a) if swap else (t_a, t_b)
+    jl = np.asarray([int(np.argmin(np.abs(t_l - ts))) for ts in t_s])
+    keep = np.abs(t_l[jl] - t_s) <= max_diff
+    i_s = np.arange(len(t_s))[keep]
+    i_l = jl[keep]
+    return (i_l, i_s) if swap else (i_s, i_l)
 
 
 def umeyama_alignment(x, y, with_scale=True):

@@ -122,8 +122,9 @@ class MatchingConfig(NamedTuple):
     # change is the min_match_frac gate, which becomes an unbiased
     # ~49k-sample estimate instead of an exact count.  The engine applies
     # it to the symmetric/warp edge paths only; add_factors scatters the
-    # subgrid back into the full-size edge arrays.  Enabled only when
-    # points_subsample == 4 (global_opt checks).
+    # subgrid back into the full-size edge arrays.  SLAMSystem AUTO-RESETS
+    # this to 1 when local_opt.points_subsample != 4 (pipeline.py) — other
+    # strides would read never-computed pixels and silently drop residuals.
     edge_query_subsample: int = 1
 
     @classmethod

@@ -105,10 +105,19 @@ class SLAMSystem:
         # any other stride would read never-computed (invalid) pixels
         # and silently lose residuals
         eqs = int(cfg.get("matching", {}).get("edge_query_subsample", 1))
-        if eqs == 2 and int(cfg["local_opt"].get("points_subsample", 1)) != 4:
-            print("[warn] matching.edge_query_subsample=2 requires "
-                  "local_opt.points_subsample=4 (BA would drop residuals "
-                  "at other strides) — check the config")
+        if eqs > 1 and int(cfg["local_opt"].get("points_subsample", 1)) != 4:
+            # AUTO-RESET (ADVICE r4 #1): proceeding would silently drop up
+            # to half the BA residuals (never-computed odd pixels read as
+            # valid=False / Q=0 at strides other than 4)
+            print("[warn] matching.edge_query_subsample=%d requires "
+                  "local_opt.points_subsample=4 — resetting "
+                  "edge_query_subsample to 1 (full-grid edge matches)"
+                  % eqs)
+            cfg.setdefault("matching", {})["edge_query_subsample"] = 1
+            if getattr(self.engine, "match_cfg", None) is not None and \
+                    self.engine.match_cfg.edge_query_subsample != 1:
+                self.engine.match_cfg = self.engine.match_cfg._replace(
+                    edge_query_subsample=1)
         # local_opt.sharded_ba: null | edge | map — distributed BA over all
         # devices (parallel/sharded_ba.py via FactorGraph(mesh=...))
         shard_mode = cfg["local_opt"].get("sharded_ba") or None

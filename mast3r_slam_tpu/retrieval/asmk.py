@@ -33,6 +33,17 @@ except Exception:  # pragma: no cover
 # Binarization + Hamming (asmk/cython/hamming.pyx parity)
 # ---------------------------------------------------------------------------
 
+if hasattr(np, "bitwise_count"):
+    _popcount_u64 = np.bitwise_count
+else:  # NumPy < 2.0 fallback (ADVICE r4 #4): byte-LUT popcount
+    _POPCNT_LUT = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1
+    ).sum(axis=1).astype(np.uint8)
+
+    def _popcount_u64(x: np.ndarray) -> np.ndarray:
+        return _POPCNT_LUT[x.view(np.uint8)].reshape(
+            x.shape + (x.dtype.itemsize,)).sum(axis=-1, dtype=np.int64)
+
 def binarize_and_pack_2d(X: np.ndarray) -> np.ndarray:
     """Sign-binarize rows and pack bits into uint64 words
     (hamming.pyx binarize_and_pack_2D)."""
@@ -53,7 +64,7 @@ def hamming_cdist_packed(A: np.ndarray, B: np.ndarray,
     if hamming_native is not None:
         return hamming_native.cdist(A, B, dim or A.shape[1] * 64)
     x = np.bitwise_xor(A[:, None, :], B[None, :, :])
-    counts = np.bitwise_count(x).sum(axis=-1)
+    counts = _popcount_u64(x).sum(axis=-1)
     d = dim or A.shape[1] * 64
     return counts.astype(np.float32) / d
 
@@ -321,7 +332,7 @@ class IVF:
                 [self.ivf_image_ids[w][: self.counts[w]] for w in ws]
             ).astype(np.int64)
             Q = np.repeat(des[qi], cnts, axis=0)
-            nd = np.bitwise_count(
+            nd = _popcount_u64(
                 np.bitwise_xor(Q, V)).sum(axis=-1).astype(np.float32) / dim
             sim = -2.0 * nd + 1.0
             mask = sim >= similarity_threshold
