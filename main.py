@@ -10,6 +10,7 @@ model), --gt (score ATE against a TUM-format ground truth at exit),
 """
 
 import argparse
+import json
 import pathlib
 import sys
 import time
@@ -82,6 +83,9 @@ def parse_args():
                         "proposals and the symmetric edge path actually "
                         "fire — required for measuring a real "
                         "retrieval_edge_rate")
+    p.add_argument("--diag-out", default="",
+                   help="per-frame diagnostics JSONL (match_frac, gn_iters, "
+                        "keyframe decisions, pose) for accuracy bisects")
     p.add_argument("--rates-out", default="logs/rates.json",
                    help="where to persist the measured protocol rates "
                         "(kf_rate / retrieval rates / mean_gn_iters); "
@@ -266,6 +270,12 @@ def main():
     n = len(dataset)
     if args.max_frames:
         n = min(n, args.max_frames)
+    diag_f = None
+    if args.diag_out:
+        dp = pathlib.Path(args.diag_out)
+        dp.parent.mkdir(parents=True, exist_ok=True)
+        diag_f = open(dp, "w")
+        system.diag = True  # per-frame pose in the info dict
     fps_timer = time.time()
 
     # Prefetch pipeline: frame i+1's host work (imread + undistort +
@@ -294,6 +304,10 @@ def main():
         if i + 1 < n:
             fut = prefetch.submit(load, i + 1)
         info = system.process_frame(i, prepared)
+        if diag_f is not None:
+            info["i"] = i
+            info["ts"] = float(timestamp)
+            diag_f.write(json.dumps(info) + "\n")
         if viewer is not None and i % 3 == 0:
             # current-frame preview mailbox (reference states.set_frame,
             # visualization.py:109-129)
@@ -341,7 +355,7 @@ def main():
                                 or config.get("reference_exact", False)),
     }
     print(f"rates: {rates}")
-    import json
+
 
     if args.rates_out:
         rp = pathlib.Path(args.rates_out)

@@ -376,6 +376,7 @@ class SLAMSystem:
             with profiler.timer("track"):
                 new_kf, frame, kf, try_reloc, reuse = \
                     self.tracker.track(frame, kf)
+            info.update(getattr(self.tracker, "last_diag", {}))
             if try_reloc:
                 self.mode = Mode.RELOC
                 self.stats["skipped"] += 1
@@ -384,6 +385,10 @@ class SLAMSystem:
             self._arena_set_last(kf)
             self.stats["tracked"] += 1
             self.last_T_WC = frame.T_WC
+            if getattr(self, "diag", False):
+                import numpy as _np
+                info["T_WC"] = [round(float(x), 6) for x in
+                                _np.asarray(frame.T_WC).ravel()]
             if new_kf:
                 self._arena_append(frame)
                 self.stats["keyframes"] += 1
@@ -702,8 +707,14 @@ class SLAMSystem:
         # pre-slim checkpoints also carry arena_img (the dead normalized
         # plane) — dataclasses.fields no longer lists it, so it is ignored
         self.arena = self.arena.replace(**arena_kw)
+        # pre-fix checkpoints can carry drifted quaternion norms (the
+        # compounding-seed bug lie_sim3.normalize documents) — re-impose
+        # the invariant on every restored pose
+        from .ops import lie_sim3 as _sim3
+        self.arena = self.arena.replace(
+            T_WC=_sim3.normalize(self.arena.T_WC))
         self.mode = Mode(int(d["mode"]))
-        self.last_T_WC = jnp.asarray(d["last_T_WC"])
+        self.last_T_WC = _sim3.normalize(jnp.asarray(d["last_T_WC"]))
         g = self.graph
         g.ii = d["graph_ii"].copy()
         g.jj = d["graph_jj"].copy()

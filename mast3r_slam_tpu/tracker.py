@@ -551,8 +551,10 @@ def track_step(engine_match_asym, frame: Frame, keyframe: Frame, idx_init,
             Xf_m, Xk_gn, T_init, Qk, valid_opt.astype(Xf_m.dtype), cfg
         )
 
-    # New frame pose (tracker.py:95)
-    frame = frame.replace(T_WC=sim3.mul(T_WCk, T_CkCf))
+    # New frame pose (tracker.py:95).  normalize: this mul is the per-
+    # frame pose recursion — without re-normalization an fp32 quaternion
+    # norm seed compounds geometrically (see lie_sim3.normalize).
+    frame = frame.replace(T_WC=sim3.normalize(sim3.mul(T_WCk, T_CkCf)))
 
     # Keyframe pointmap update in its own frame (tracker.py:97-101)
     Xkk = sim3.act(T_CkCf, Xkf)
@@ -652,6 +654,14 @@ class FrameTracker:
         self.gn_iters_total += int(res.gn_iters)
         self.gn_frames += 1
         ok = bool(res.ok)
+        # lightweight per-frame diagnostics (already host-synced scalars);
+        # consumed by main.py --diag-out
+        self.last_diag = {
+            "match_frac": match_frac,
+            "gn_iters": int(res.gn_iters),
+            "ok": ok,
+            "new_kf_metric": float(res.new_kf_metric),
+        }
         if match_frac < self.cfg.min_match_frac or not ok:
             self.idx_f2k = res.idx_f2k  # keep warm start
             return False, frame, keyframe, True, None
