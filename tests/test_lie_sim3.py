@@ -171,3 +171,37 @@ def test_as_se3(rng):
     E = sim3.as_se3(T)
     np.testing.assert_allclose(E[..., 7], 1.0, atol=1e-6)
     np.testing.assert_allclose(E[..., 0:7], T[..., 0:7], atol=1e-5)
+
+
+def test_retr_renormalizes_quaternion(rng):
+    """retr must re-impose ||q|| = 1: quat_inv is a conjugate (not a true
+    inverse), so rel/mul MULTIPLY quaternion norms and the pipeline's
+    kf->frame pose recursion amplifies any norm seed geometrically —
+    measured pose blowup (NaN quaternions, 0.56-1.92 fake scale spread)
+    by frame ~60 of the 224-frame production-res drive before the fix."""
+    T = rand_group(rng, 4)
+    T_bad = T.at[..., 3:7].multiply(1.01)  # drifted norm seed
+    xi = jnp.asarray(rng.normal(0, 0.1, (4, 7)), jnp.float32)
+    out = sim3.retr(T_bad, xi)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out[..., 3:7]), axis=-1), 1.0, atol=1e-6)
+
+
+def test_pose_recursion_norm_stable(rng):
+    """500 iterations of the tracker's pose recursion
+    T_f = mul(T_k, GN-retr(rel(T_k, T_f))) keep ||q|| at 1 to fp32
+    rounding (the pre-fix recursion diverged from a 1e-7 seed)."""
+    T_k = rand_group(rng, 1)[0]
+    T_f = rand_group(rng, 1)[0]
+    xi = jnp.asarray(rng.normal(0, 0.02, (7,)), jnp.float32)
+
+    @jax.jit
+    def step(T_f):
+        T_rel = sim3.rel(T_k, T_f)
+        return sim3.mul(T_k, sim3.retr(T_rel, xi))
+
+    for _ in range(500):
+        T_f = step(T_f)
+    n = float(jnp.linalg.norm(T_f[3:7]))
+    assert abs(n - 1.0) < 1e-5, n
+    assert np.isfinite(np.asarray(T_f)).all()
