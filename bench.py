@@ -318,6 +318,31 @@ def main():
                           "kf_add_factors(sym decode+match, 2 edges)",
                           lambda c: c[0][0, 0, 0])
 
+    # desc_global retrieval-edge stage (local_opt.retrieval_edge_mode):
+    # pose-free matching of a keyframe pair from stored q8 tables — ONE
+    # coarse MXU global argmax + refine ladder + gates per direction,
+    # replacing the 4-decoder-pass symmetric batch for proposals
+    # (ops/matching.py::match_desc_global).  Random descriptors exercise
+    # the full compute (gates are data-only wheres; no data-dependent
+    # control flow).
+    from mast3r_slam_tpu.ops.matching import match_desc_global
+
+    kd = jax.random.split(jax.random.PRNGKey(7), 2)
+    D8a0 = jax.random.randint(kd[0], (1, h, w, 24), -127, 128, jnp.int8)
+    D8b0 = jax.random.randint(kd[1], (1, h, w, 24), -127, 128, jnp.int8)
+    dc0 = jnp.ones((1, h * w, 1), jnp.float32)
+
+    def mdg_step(params, carry):
+        D8a, D8b, dca, dcb = carry
+        outs = match_desc_global(D8a, D8b, dca, dcb, h, w,
+                                 cfg=engine.match_cfg)
+        consume = sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+        return (D8a + (consume % 2).astype(jnp.int8), D8b, dca, dcb)
+
+    mdg_ms = timed_chain(mdg_step, (D8a0, D8b0, dc0, dc0),
+                         "retrieval_edge(desc_global, pose-free)",
+                         lambda c: c[0][0, 0, 0, 0].astype(jnp.float32))
+
     # production consecutive-edge path (local_opt.reuse_track_matches +
     # reuse_warp): the tracker's direction is reused AND the completing
     # i->j direction is matched DECODE-FREE from canonical pointmaps +
@@ -651,7 +676,20 @@ def main():
     # per-proposal pricing.
     marg_ms = max(sym2_ms - sym_ms, 0.0)
     e_mean = retr_rate / kf_rate if kf_rate > 0 else 0.0
-    if e_mean > 1.0:
+    edge_mode = str(_lo.get("retrieval_edge_mode", "sym"))
+    fb_rate = 0.0
+    if rates_src != "assumed":
+        try:
+            fb_rate = float(measured.get("desc_fallback_rate", 0.0))
+        except Exception:
+            pass
+    if edge_mode == "desc_global":
+        # pose-free desc matching per proposal; gate-rejected proposals
+        # additionally pay the sym decode fallback at the measured rate
+        sym_frame_ms = retr_rate * (mdg_ms + fb_rate * sym_ms)
+        sym_model = (f"{retr_rate:.2f}*({mdg_ms:.1f} desc"
+                     f"+{fb_rate:.2f}*{sym_ms:.1f} fb)")
+    elif e_mean > 1.0:
         sym_frame_ms = kf_rate * (sym_ms + (e_mean - 1.0) * marg_ms)
         sym_model = (f"{kf_rate:.2f}*({sym_ms:.1f}+"
                      f"{e_mean - 1.0:.2f}*{marg_ms:.1f}) sym-batched")
@@ -774,6 +812,9 @@ def main():
             "kf_edge_reused": round(kfedge_ms, 2),
             "retrieval_edge_sym": round(sym_ms, 2),
             "retrieval_edge_sym2": round(sym2_ms, 2),
+            "retrieval_edge_desc": round(mdg_ms, 2),
+            "retrieval_edge_mode": edge_mode,
+            "desc_fallback_rate": round(fb_rate, 3),
             "retrieval_ms": round(retrieval_ms, 2),
             "kf_ba_solve": round(ba_ms, 2),
             "kf_rate": kf_rate,
@@ -788,7 +829,8 @@ def main():
     # non-positive stage time is physically impossible — refuse to emit it
     stage_keys = ("encode", "encode_bf16", "track", "create_frame_host",
                   "kf_edge_reused", "retrieval_edge_sym",
-                  "retrieval_edge_sym2", "retrieval_ms", "kf_ba_solve")
+                  "retrieval_edge_sym2", "retrieval_edge_desc",
+                  "retrieval_ms", "kf_ba_solve")
     bad = {k: record["breakdown_ms"][k] for k in stage_keys
            if record["breakdown_ms"].get(k, 1) <= 0}
     if bad:

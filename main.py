@@ -76,6 +76,11 @@ def parse_args():
                    help="timestamp association window for the built-in ATE "
                         "(0.01 = evo default; loosen for synthetic clips "
                         "with sparse keyframe stamps)")
+    p.add_argument("--oracle-desc", action="store_true",
+                   help="with --oracle: export q8 world descriptors from "
+                        "the oracle engine, activating the descriptor "
+                        "production paths (pose-warped consecutive edge + "
+                        "desc_global retrieval edges) in oracle drives")
     p.add_argument("--oracle-retrieval", action="store_true",
                    help="with --oracle: build an oracle ASMK retrieval "
                         "database from the clip's own view signatures "
@@ -217,7 +222,7 @@ def main():
         seq.T_WC = seq.T_WC[::sub]
         h, w = seq.h, seq.w
         config["dataset"]["img_size"] = max(h, w)
-        engine = OracleEngine(seq)
+        engine = OracleEngine(seq, export_desc=args.oracle_desc)
         K = seq.K if use_calib else None
         if args.oracle_retrieval:
             from mast3r_slam_tpu.testing import make_oracle_retrieval
@@ -327,6 +332,9 @@ def main():
     wall = time.time() - fps_timer
     print(f"done: {n} frames in {wall:.1f}s ({n / wall:.2f} FPS)")
     print(f"stats: {system.stats}")
+    ndb = getattr(system.graph, "n_desc_batches", 0)
+    if system.graph.retrieval_edge_mode == "desc_global":
+        print(f"desc_global edge batches: {ndb}")
     # measured protocol weights (VERDICT r2 weak #7): how often keyframe
     # rounds and loop-closure (symmetric) edges actually fire per frame —
     # bench.py folds these into the protocol composition via BENCH_RATES
@@ -345,6 +353,16 @@ def main():
         "mean_gn_iters": (
             system.tracker.gn_iters_total
             / max(system.tracker.gn_frames, 1)
+        ),
+        # desc_global accounting: how many proposal batches the pose-free
+        # descriptor matcher served, and what fraction of proposals fell
+        # back to the symmetric decode (bench.py prices the desc mode as
+        # mdg + fallback_rate * sym)
+        "desc_edge_batches": int(getattr(system.graph,
+                                         "n_desc_batches", 0)),
+        "desc_fallback_rate": (
+            int(getattr(system.graph, "n_desc_fallbacks", 0))
+            / max(system.stats["retrieval_proposals"], 1)
         ),
         # provenance: which run produced these weights (bench.py logs it
         # so a rates file from a mismatched config is auditable)

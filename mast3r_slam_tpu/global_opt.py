@@ -29,6 +29,7 @@ import numpy as np
 from .frame import KeyframeArena, arena_update_poses
 from .inference import InferenceEngine
 from .ops import ba
+from .ops import matching as matching_ops
 from .ops.geometry import constrain_points_to_ray
 
 
@@ -341,6 +342,35 @@ class FactorGraph:
         self.local_cfg = cfg["local_opt"]
         # decode-free pose-warped consecutive edge (_add_consecutive_reused)
         self.reuse_warp = bool(self.local_cfg.get("reuse_warp", True))
+        # retrieval-edge matching mode: "sym" = the reference's symmetric
+        # 2E-batch decode+match; "desc_global" = pose-free global matching
+        # from stored per-keyframe q8 descriptor tables
+        # (ops.matching.match_desc_global) — decode-free, so the largest
+        # single-thread protocol term (the 4-decoder-pass loop-closure
+        # edge, mast3r_utils.py:113-147) collapses to one MXU argmax +
+        # refine.  Keyframes without stored descriptors (INIT before
+        # backfill, reloc-added) fall back to sym per batch.
+        self.retrieval_edge_mode = str(
+            self.local_cfg.get("retrieval_edge_mode", "sym"))
+        self.desc_store: dict = {}
+        # engines without a match_cfg (oracle harness) still honor the
+        # config's matching section for the desc_global path
+        try:
+            self._match_cfg = getattr(engine, "match_cfg", None) or \
+                matching_ops.MatchingConfig.from_dict(cfg["matching"])
+        except (KeyError, TypeError):  # reduced test configs
+            self._match_cfg = matching_ops.MatchingConfig()
+        if self._match_cfg.edge_query_subsample != 2:
+            # desc_global emits the edge_query_subsample=2 subgrid layout
+            self.retrieval_edge_mode = "sym"
+
+        @functools.partial(jax.jit, static_argnames=("h", "w"))
+        def _mdg(D8i, D8j, dci, dcj, h, w):
+            return matching_ops.match_desc_global(
+                D8i, D8j, dci, dcj, h, w, cfg=self._match_cfg,
+            )
+
+        self._mdg_jit = _mdg
         self.max_edges = int(self.local_cfg.get("max_edges", 256))
         self.min_match_frac = float(self.local_cfg["min_match_frac"])
         self.hw = hw
@@ -431,6 +461,20 @@ class FactorGraph:
             )
         self.max_edges = E2
 
+    def store_desc(self, row: int, desc8, dconf, h: int, w: int):
+        """Persist a keyframe's canonical q8 descriptor table + descriptor
+        confidence for the pose-free desc_global retrieval-edge matcher.
+        desc8: (1, h*w, f) int8; dconf: (1, h*w, 1) float.  Rows are
+        immutable once stored (keyframe descriptors never change)."""
+        if self.retrieval_edge_mode != "desc_global" or row in \
+                self.desc_store:
+            return
+        d8 = jnp.asarray(desc8).reshape(1, h, w, -1)
+        dc = jnp.asarray(dconf, jnp.float32).reshape(1, h * w, 1)
+        if self.device is not None:
+            d8, dc = jax.device_put((d8, dc), self.device)
+        self.desc_store[row] = (d8, dc)
+
     def add_factors(self, arena: KeyframeArena, ii, jj, min_match_frac,
                     is_reloc: bool = False, reuse=None) -> bool:
         """Symmetric decode+match + two-directional gating
@@ -470,13 +514,32 @@ class FactorGraph:
         sel_i = jnp.asarray(ii_pad, jnp.int32)
         sel_j = jnp.asarray(jj_pad, jnp.int32)
 
-        kw = {} if self.params is None else {"params": self.params}
-        (idx_i2j, idx_j2i, valid_match_j, valid_match_i,
-         Qii, Qjj, Qji, Qij) = self.engine.match_symmetric(
-            arena.feat[sel_i], arena.pos[sel_i],
-            arena.feat[sel_j], arena.pos[sel_j],
-            **kw,
+        use_desc = (
+            self.retrieval_edge_mode == "desc_global" and not is_reloc
+            and all(r in self.desc_store for r in set(ii) | set(jj))
         )
+        if use_desc:
+            self.n_desc_batches = getattr(self, "n_desc_batches", 0) + 1
+            h_img, w_img = arena.img_hw
+            D8i = jnp.concatenate(
+                [self.desc_store[r][0] for r in ii_pad], axis=0)
+            D8j = jnp.concatenate(
+                [self.desc_store[r][0] for r in jj_pad], axis=0)
+            dci = jnp.concatenate(
+                [self.desc_store[r][1] for r in ii_pad], axis=0)
+            dcj = jnp.concatenate(
+                [self.desc_store[r][1] for r in jj_pad], axis=0)
+            (idx_i2j, idx_j2i, valid_match_j, valid_match_i,
+             Qii, Qjj, Qji, Qij) = self._mdg_jit(
+                D8i, D8j, dci, dcj, h=h_img, w=w_img)
+        else:
+            kw = {} if self.params is None else {"params": self.params}
+            (idx_i2j, idx_j2i, valid_match_j, valid_match_i,
+             Qii, Qjj, Qji, Qij) = self.engine.match_symmetric(
+                arena.feat[sel_i], arena.pos[sel_i],
+                arena.feat[sel_j], arena.pos[sel_j],
+                **kw,
+            )
         if idx_i2j.shape[1] * 4 == Qii.shape[1]:
             # subgrid edge match (matching.edge_query_subsample=2):
             # gate on the subgrid, scatter into full-size edge arrays
@@ -505,6 +568,23 @@ class FactorGraph:
 
         accept = ~invalid
         n_new = int(accept.sum())
+        if use_desc and invalid.any():
+            # SYM FALLBACK: the desc_global gates are deliberately
+            # conservative (cos floor + ratio + mutual + multiplicity) —
+            # an edge they reject may still be a real loop closure the
+            # reference's decoded match would keep (hard viewpoint
+            # change, descriptor-space ambiguity).  Retry ONLY the
+            # rejected pairs through the exact symmetric decode path, so
+            # conservative desc gating can never lose an edge — worst
+            # case it costs what the sym path always cost.
+            self.n_desc_fallbacks = getattr(self, "n_desc_fallbacks", 0) \
+                + int(invalid.sum())
+            retry_ii = [int(a) for a, bad in zip(ii, invalid) if bad]
+            retry_jj = [int(b) for b, bad in zip(jj, invalid) if bad]
+            ra = self._add_factors_sym(arena, retry_ii, retry_jj,
+                                       min_match_frac)
+            if n_new == 0:
+                return ra
         if n_new == 0:
             return False
         if self.n_edges + n_new > self.max_edges:
@@ -524,6 +604,18 @@ class FactorGraph:
         self.jj[self.n_edges:self.n_edges + n_new] = jj_np[accept]
         self.n_edges += n_new
         return True
+
+    def _add_factors_sym(self, arena: KeyframeArena, ii, jj,
+                         min_match_frac) -> bool:
+        """add_factors with the symmetric decode forced (the desc_global
+        rejection fallback; backend rounds are serial, so the temporary
+        mode flip cannot race)."""
+        mode = self.retrieval_edge_mode
+        self.retrieval_edge_mode = "sym"
+        try:
+            return self.add_factors(arena, ii, jj, min_match_frac)
+        finally:
+            self.retrieval_edge_mode = mode
 
     def _add_consecutive_reused(self, arena: KeyframeArena, i: int, j: int,
                                 reuse) -> bool:
@@ -555,11 +647,12 @@ class FactorGraph:
             Qii, Qji = reuse["Qij"], reuse["Qjj"]
         else:
             kw = {} if self.params is None else {"params": self.params}
+            # [:8]: desc-exporting engines append their q8 tables
             (idx_i2j, vm_j, _Xff, _Cff, Qii, _Xkf, _Ckf, Qji) = \
                 self.engine.match_asymmetric(
                     arena.feat[i][None], arena.pos[i][None],
                     arena.feat[j][None], arena.pos[j][None], **kw,
-                )
+                )[:8]
         idx_j2i = reuse["idx_j2i"]
         vm_i = reuse["valid_i"]
         Qjj = reuse["Qjj"]

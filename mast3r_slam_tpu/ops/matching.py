@@ -126,6 +126,16 @@ class MatchingConfig(NamedTuple):
     # this to 1 when local_opt.points_subsample != 4 (pipeline.py) — other
     # strides would read never-computed pixels and silently drop residuals.
     edge_query_subsample: int = 1
+    # Gates of the pose-free desc-global retrieval-edge matcher
+    # (match_desc_global): max L_inf px distance of the mutual cycle
+    # check; minimum descriptor cosine; minimum cosine MARGIN over the
+    # best competing peak >= 3 key-cells away (spatial-exclusion ratio
+    # test); max queries allowed to claim one target half-cell
+    # (funnel/multiplicity gate).
+    desc_global_mutual_px: int = 2
+    desc_global_min_cos: float = 0.85
+    desc_global_min_margin: float = 0.1
+    desc_global_max_mult: int = 2
 
     @classmethod
     def from_dict(cls, d: dict) -> "MatchingConfig":
@@ -148,6 +158,11 @@ class MatchingConfig(NamedTuple):
             lm_subsample=int(d.get("lm_subsample", 0)),
             occlusion_subsample=int(d.get("occlusion_subsample", 1)),
             edge_query_subsample=int(d.get("edge_query_subsample", 1)),
+            desc_global_mutual_px=int(d.get("desc_global_mutual_px", 2)),
+            desc_global_min_cos=float(d.get("desc_global_min_cos", 0.85)),
+            desc_global_min_margin=float(
+                d.get("desc_global_min_margin", 0.1)),
+            desc_global_max_mult=int(d.get("desc_global_max_mult", 2)),
         )
 
 
@@ -776,3 +791,164 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None,
 
     idx_1_to_2 = pixel_to_lin(p1, w)
     return idx_1_to_2, valid[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Pose-free global descriptor matching (retrieval / loop-closure edges)
+# ---------------------------------------------------------------------------
+
+def _coarse_global_argmax(D_tab8, D_q8, h, w, s_key: int,
+                          chunk: int = 2048, excl_cells: int = 3):
+    """For each query descriptor, the best-scoring position on the
+    ``s_key``-strided key grid of the table view — a brute-force int8 MXU
+    contraction, chunked over queries so the (chunk, n_keys) score block
+    stays small — plus the best score OUTSIDE an ``excl_cells``-radius
+    spatial exclusion zone around the winner (the second peak of a
+    Lowe-style ratio test; the immediate neighbors score high
+    legitimately, so they must not count as a competing peak).
+
+    D_tab8: (b, h, w, f) int8; D_q8: (b, nq, f) int8.
+    Returns (pos (b, nq, 2) int32 full-res pixel coords, score (b, nq)
+    int32, second (b, nq) int32 best-outside-exclusion score)."""
+    b = D_tab8.shape[0]
+    f = D_tab8.shape[-1]
+    hk, wk = h // s_key, w // s_key
+    keys = D_tab8[:, ::s_key, ::s_key].reshape(b, hk * wk, f)
+    ku = jnp.arange(hk * wk, dtype=jnp.int32) % wk
+    kv = jnp.arange(hk * wk, dtype=jnp.int32) // wk
+    nq = D_q8.shape[1]
+    pad = (-nq) % chunk
+    Dq = jnp.pad(D_q8, ((0, 0), (0, pad), (0, 0))) if pad else D_q8
+    n_chunks = (nq + pad) // chunk
+    Dq = Dq.reshape(b, n_chunks, chunk, f)
+
+    def one(q):  # (b, chunk, f) int8
+        s = jax.lax.dot_general(
+            q, keys, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (b, chunk, hk*wk)
+        best = jnp.argmax(s, axis=-1).astype(jnp.int32)
+        smax = jnp.max(s, axis=-1)
+        near = (
+            (jnp.abs(ku[None, None, :] - (best % wk)[..., None])
+             <= excl_cells)
+            & (jnp.abs(kv[None, None, :] - (best // wk)[..., None])
+               <= excl_cells)
+        )
+        s2 = jnp.max(jnp.where(near, jnp.int32(-(2 ** 30)), s), axis=-1)
+        return best, smax, s2
+
+    best, score, second = jax.lax.map(one, jnp.moveaxis(Dq, 1, 0))
+    unpad = lambda A: jnp.moveaxis(A, 0, 1).reshape(  # noqa: E731
+        b, nq + pad)[:, :nq]
+    best, score, second = unpad(best), unpad(score), unpad(second)
+    pos = jnp.stack(
+        [(best % wk) * s_key, (best // wk) * s_key], axis=-1
+    ).astype(jnp.int32)
+    return pos, score, second
+
+
+def match_desc_global(D8_i, D8_j, dconf_i, dconf_j, h, w,
+                      cfg: MatchingConfig = MatchingConfig()):
+    """Pose-free symmetric matching of two keyframes from their stored q8
+    descriptor tables — the decode-free retrieval-edge path.
+
+    The reference prices every loop-closure proposal at a full symmetric
+    2E-batch decode (mast3r_utils.py:113-147) whose pointmap outputs the
+    factor graph never stores — BA consumes the ARENA's canonical
+    pointmaps plus (idx, valid, Q) only (global_opt.py edge arrays).  So
+    for retrieval edges the decode buys nothing but matches+confidences,
+    and those can be computed directly from per-keyframe canonical q8
+    descriptors: a brute-force global argmax on the MXU (pose-FREE —
+    unlike the pose-warped consecutive-edge path, this stays valid under
+    arbitrary accumulated pose-graph drift, which is exactly the loop-
+    closure regime) followed by the production dilated refine walk, with
+    a mutual (cycle-consistency) gate replacing the decode-dependent 3D
+    occlusion gate.
+
+    D8_i / D8_j: (b, h, w, f) int8 canonical descriptor tables;
+    dconf_i / dconf_j: (b, h*w, 1) descriptor confidences.
+    Returns the add_factors subgrid contract (edge_query_subsample=2
+    layout): (idx_i2j (b, hw/4), idx_j2i, vm_j (b, hw/4, 1), vm_i,
+    Qii, Qjj, Qji, Qij) where idx_i2j[q] indexes view i's full-res
+    pixels per half-grid query q of view j (tracker index convention)
+    and the Q blocks are the full-res canonical confidences
+    (_gate_edges_sub handles the sub/expand)."""
+    b = D8_i.shape[0]
+    h2, w2 = h // 2, w // 2
+    lim = jnp.asarray([w - 1, h - 1], jnp.int32)
+
+    def half_queries(D8):
+        return D8[:, ::2, ::2].reshape(b, h2 * w2, -1)
+
+    def one_direction(D_tab, D_q):
+        # coarse: global argmax over the s=4 key grid (+ the competing
+        # peak outside the spatial exclusion zone), then the production
+        # refine ladder at full table resolution
+        pos, score, second = _coarse_global_argmax(D_tab, D_q, h, w,
+                                                   s_key=4)
+        pos = refine_matches(D_tab, D_q, pos, radius=2, dilation_max=2,
+                             coarse_bits=cfg.coarse_bits, dilation_min=2,
+                             u_pack=5)
+        pos = refine_matches(D_tab, D_q, pos, radius=2, dilation_max=1,
+                             coarse_bits=cfg.coarse_bits, u_pack=5)
+        pos = jnp.clip(pos, 0, lim)
+        # score at the REFINED position (the coarse winner sits up to 2 px
+        # off and under-reads true matches; the refined score of a true
+        # correspondence is ~the descriptor autocorrelation peak, while a
+        # non-covisible query's smooth-field optimum stays near its coarse
+        # value — this is the margin that separates them)
+        b_ = D_tab.shape[0]
+        tab_flat = D_tab.reshape(b_, h * w, -1)
+        d_at = jnp.take_along_axis(
+            tab_flat, pixel_to_lin(pos, w)[..., None], axis=1)
+        rs = jnp.sum(
+            d_at.astype(jnp.int32) * D_q.astype(jnp.int32), axis=-1)
+        return pos, rs, second
+
+    Dq_j = half_queries(D8_j)   # queries of view j -> matched into i
+    Dq_i = half_queries(D8_i)
+    p_ij, s_ij, s2_ij = one_direction(D8_i, Dq_j)  # (b, h2*w2, 2) i coords
+    p_ji, s_ji, s2_ji = one_direction(D8_j, Dq_i)  # in j coords
+
+    # gates (all pose-free):
+    #  * mutual cycle: the reverse field at the matched pixel's half-cell
+    #    must come back to the query;
+    #  * score margin: the winner must beat the best peak >= 3 key-cells
+    #    away by desc_global_min_margin cosine (Lowe-style ratio with
+    #    spatial exclusion — ambiguous/repetitive regions and
+    #    non-covisible queries have flat score fields and die here);
+    #  * multiplicity: a target half-cell claimed by more than
+    #    desc_global_max_mult queries is a funnel (non-covisible queries
+    #    pile onto frustum-border pixels; true correspondences are
+    #    near-bijective on the matched grid);
+    #  * absolute cosine floor.
+    f_norm = 127.0 * 127.0  # prenorm q8 scale: unit descriptors at 127
+
+    def gates(p_fwd, p_rev_field, s_fwd, s2_fwd):
+        b_ = p_fwd.shape[0]
+        cell = (p_fwd[..., 1] // 2) * w2 + (p_fwd[..., 0] // 2)
+        back = jnp.take_along_axis(
+            p_rev_field, cell[..., None], axis=1)      # (b, nq, 2)
+        qv, qu = jnp.divmod(
+            jnp.arange(h2 * w2, dtype=jnp.int32), w2)
+        q_pos = jnp.stack([qu * 2, qv * 2], axis=-1)[None]
+        d = jnp.max(jnp.abs(back - q_pos), axis=-1)
+        ok = d <= cfg.desc_global_mutual_px
+        cos = s_fwd.astype(jnp.float32) / f_norm
+        cos2 = s2_fwd.astype(jnp.float32) / f_norm
+        ok &= (cos - cos2) >= cfg.desc_global_min_margin
+        ok &= cos >= cfg.desc_global_min_cos
+        mult = jnp.zeros((b_, h2 * w2), jnp.int32).at[
+            jnp.arange(b_)[:, None], cell].add(1)
+        ok &= jnp.take_along_axis(mult, cell, axis=1) \
+            <= cfg.desc_global_max_mult
+        return ok
+
+    vm_j = gates(p_ij, p_ji, s_ij, s2_ij)              # per j query
+    vm_i = gates(p_ji, p_ij, s_ji, s2_ji)              # per i query
+
+    idx_i2j = pixel_to_lin(p_ij, w)
+    idx_j2i = pixel_to_lin(p_ji, w)
+    return (idx_i2j, idx_j2i, vm_j[..., None], vm_i[..., None],
+            dconf_i, dconf_j, dconf_j, dconf_i)

@@ -389,11 +389,27 @@ class SLAMSystem:
                 import numpy as _np
                 info["T_WC"] = [round(float(x), 6) for x in
                                 _np.asarray(frame.T_WC).ravel()]
+            if (self.graph.retrieval_edge_mode == "desc_global"
+                    and reuse is not None and reuse[5] is not None):
+                # backfill the CURRENT last keyframe's canonical q8 table
+                # (covers the INIT keyframe, which mono-decodes without
+                # descriptor export): the tracker's decode of (frame, kf)
+                # exports kf's descriptors every frame
+                h_img, w_img = self.img_hw
+                self.graph.store_desc(int(self.arena.n_size) - 1,
+                                      reuse[5], reuse[3], h_img, w_img)
             if new_kf:
                 self._arena_append(frame)
                 self.stats["keyframes"] += 1
                 info["new_kf"] = True
                 n = int(self.arena.n_size)
+                if (self.graph.retrieval_edge_mode == "desc_global"
+                        and reuse is not None and reuse[4] is not None):
+                    # the new keyframe's own table, stored NOW — retrieval
+                    # proposals for it fire in this same backend round
+                    h_img, w_img = self.img_hw
+                    self.graph.store_desc(n - 1, reuse[4], reuse[2],
+                                          h_img, w_img)
                 if self._reuse_matches and reuse is not None and n >= 2:
                     idx_f2k, vm, Qff, Qkf, d8f, d8k = reuse
                     if self._bdev is not None:

@@ -105,7 +105,8 @@ def render_view(T_WC, h, w, K, scene: str = "smooth"):
     return rgb, Xc, Xw
 
 
-def world_descriptors(X_world, f: int = 24, base_wavelength: float = 0.35):
+def world_descriptors(X_world, f: int = 24, base_wavelength: float = 0.35,
+                      geometric: bool = False):
     """View-invariant, locally discriminative descriptors: multi-frequency
     positional encodings of the WORLD surface coordinates.  Two pixels (in
     any two views) observing the same surface point get the same
@@ -113,11 +114,30 @@ def world_descriptors(X_world, f: int = 24, base_wavelength: float = 0.35):
     decays with surface distance — like real MASt3R descriptors, but
     checkpoint-free.  ``base_wavelength`` sets the finest spatial period
     (world units) — keep it a few pixel footprints for 1-px
-    discrimination without aliasing inside the matcher's search window."""
+    discrimination without aliasing inside the matcher's search window.
+
+    ``geometric=True`` uses an octave ladder (wavelengths base * 2^k)
+    instead of the linear one: the longest period then spans the whole
+    scene, making the descriptors GLOBALLY unique — required when testing
+    pose-free global matching (match_desc_global), where the linear
+    ladder's ~6x base repeat period aliases and produces cycle-consistent
+    false matches no gate can catch (real MASt3R descriptors are globally
+    discriminative)."""
     x, y = X_world[:, 0], X_world[:, 1]
     feats = []
-    for k in range(f // 4):
-        freq = 2 * np.pi * (k + 1) / (base_wavelength * (f // 4))
+    n_oct = f // 4
+    for k in range(n_oct):
+        if geometric:
+            # ladder spanning base..max(12, 32*base) so the longest
+            # period covers the scene regardless of how fine the base is
+            # (a fixed x2 octave ratio tops out too low when the base is
+            # footprint-scaled at production resolution)
+            top = max(12.0, 32.0 * base_wavelength)
+            ratio = (top / base_wavelength) ** (1.0 / max(n_oct - 1, 1))
+            wl = base_wavelength * (ratio ** k)
+        else:
+            wl = base_wavelength * n_oct / (k + 1)
+        freq = 2 * np.pi / wl
         feats += [np.sin(freq * x), np.cos(freq * x),
                   np.sin(freq * y), np.cos(freq * y)]
     D = np.stack(feats, axis=-1).astype(np.float32)
@@ -229,7 +249,7 @@ class OracleEngine:
 
     def __init__(self, seq: SyntheticSequence, noise_std: float = 0.0,
                  match_noise_px: int = 0, seed: int = 0,
-                 blackout_frames=()):
+                 blackout_frames=(), export_desc: bool = False):
         self.seq = seq
         self.h, self.w = seq.h, seq.w
         self.hw = self.h * self.w
@@ -245,6 +265,14 @@ class OracleEngine:
         # frames whose matches are wiped (tracking-failure injection for
         # relocalization tests)
         self.blackout_frames = set(blackout_frames)
+        # export_desc: also emit q8 WORLD descriptors (geometric ladder —
+        # globally unique) from match_asymmetric, activating the engine's
+        # descriptor-dependent production paths (pose-warped consecutive
+        # edge + desc_global retrieval edges) in oracle drives.  Off by
+        # default so the plain oracle fixtures keep exercising the
+        # fallback (decode) paths.
+        self.export_desc = bool(export_desc)
+        self._desc_cache: dict = {}
 
     # -- InferenceEngine interface ----------------------------------------
 
@@ -316,6 +344,24 @@ class OracleEngine:
     def _fid(feat):
         return int(np.asarray(feat[0, 0, 0]))
 
+    def _desc8(self, i):
+        """(1, hw, 24) int8 q8 world descriptors of view i (cached).
+
+        base_wavelength is FOOTPRINT-scaled (~3 pixel footprints at the
+        typical scene depth): real MASt3R descriptors discriminate at
+        pixel granularity at any input resolution, so the fixture must
+        too — a fixed base (0.35 m ~ 36 footprints at 384x512) makes
+        neighboring pixels indistinguishable and was measured to poison
+        BA through the desc_global path at production res."""
+        if i not in self._desc_cache:
+            footprint = 4.0 / float(self.seq.K[0, 0])
+            D = world_descriptors(self.seq.X_world[i], geometric=True,
+                                  base_wavelength=3.0 * footprint)
+            self._desc_cache[i] = jnp.asarray(
+                np.clip(np.round(D * 127.0), -127, 127).astype(np.int8)[None]
+            )
+        return self._desc_cache[i]
+
     def match_asymmetric(self, frame_feat, frame_pos, kf_feat, kf_pos,
                          idx_i2j_init=None):
         fi = self._fid(frame_feat)
@@ -326,7 +372,7 @@ class OracleEngine:
         if fi in self.blackout_frames:
             inside = np.zeros_like(inside)
         ones = np.ones((1, self.hw, 1), np.float32)
-        return (
+        outs = (
             jnp.asarray(idx[None]),
             jnp.asarray(inside[None, :, None]),
             jnp.asarray(Xff[None]), jnp.asarray(10.0 * ones),
@@ -334,6 +380,9 @@ class OracleEngine:
             jnp.asarray(Xkf[None]), jnp.asarray(10.0 * ones),
             jnp.asarray(4.0 * ones),
         )
+        if self.export_desc:
+            outs = outs + (self._desc8(fi), self._desc8(ki))
+        return outs
 
     def inference_mono(self, feat, pos):
         fi = self._fid(feat)

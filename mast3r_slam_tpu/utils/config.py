@@ -97,6 +97,8 @@ REFERENCE_EXACT_OVERRIDES = {
         "points_subsample": 1,
         "reuse_track_matches": False,
         "reuse_warp": False,
+        # retrieval edges pay the reference's symmetric 2E-batch decode
+        "retrieval_edge_mode": "sym",
     },
 }
 

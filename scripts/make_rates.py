@@ -53,7 +53,8 @@ def main():
         [sys.executable, str(ROOT / "main.py"),
          "--dataset", str(clip),
          "--config", "config/eval_no_calib.yaml",
-         "--no-viz", "--oracle", "--oracle-retrieval", "--cpu",
+         "--no-viz", "--oracle", "--oracle-desc", "--oracle-retrieval",
+         "--cpu",
          "--gt", str(clip / "gt.txt"), "--ate-max-diff", "0.05",
          "--rates-out", str(rates_path),
          "--save-as", "rates_run"],

@@ -402,3 +402,64 @@ def test_pack_rows_mxu_matches_roll_interior():
         with pltpu.force_tpu_interpret_mode():
             mxu = np.asarray(pack.pack_rows_mxu(tbl, offs))
         np.testing.assert_array_equal(roll[:, lo:hi], mxu[:, lo:hi])
+
+
+def test_match_desc_global_accuracy():
+    """Pose-free global descriptor matching (the decode-free retrieval-
+    edge path): on two rendered views with a large relative Sim(3) offset
+    and globally-unique world descriptors, the matcher must recover the
+    true correspondence to 1 px on essentially every mutually-visible
+    query, with no high-error matches surviving the cycle gate.  No pose
+    enters the computation — accuracy is invariant to any accumulated
+    pose-graph drift (the loop-closure regime that makes the pose-warped
+    fast path unsafe there)."""
+    import jax
+
+    from mast3r_slam_tpu import testing as T
+    from mast3r_slam_tpu.ops import lie_sim3 as sim3
+    from mast3r_slam_tpu.ops.matching import (MatchingConfig,
+                                              match_desc_global)
+
+    h, w = 64, 96
+    K = T.make_K(h, w)
+    T_i = sim3.identity()
+    xi = jnp.asarray([0.35, -0.2, 0.1, 0.08, -0.1, 0.06, 0.05],
+                     jnp.float32)
+    T_j = sim3.exp(xi)
+    _, _, Xw_i = T.render_view(T_i, h, w, K)
+    _, _, Xw_j = T.render_view(T_j, h, w, K)
+
+    def q8(D):
+        return np.clip(np.round(D * 127.0), -127, 127).astype(np.int8)
+
+    D8_i = jnp.asarray(
+        q8(T.world_descriptors(Xw_i, geometric=True)).reshape(1, h, w, 24))
+    D8_j = jnp.asarray(
+        q8(T.world_descriptors(Xw_j, geometric=True)).reshape(1, h, w, 24))
+    ones = jnp.ones((1, h * w, 1), jnp.float32)
+    cfg = MatchingConfig(coarse_subsample=2, final_radius=1,
+                         coarse_radius=2, dilation_schedule=(4, 2),
+                         lm_subsample=4, edge_query_subsample=2)
+    out = jax.jit(
+        lambda a, b, c, d: match_desc_global(a, b, c, d, h, w, cfg)
+    )(D8_i, D8_j, ones, ones)
+    idx_i2j, _, vm_j = out[0], out[1], out[2]
+
+    # oracle correspondence: project j's world points into i
+    Xc = np.asarray(sim3.act(sim3.inv(T_i), jnp.asarray(Xw_j)))
+    uv = (K @ Xc.T).T
+    u = np.round(uv[:, 0] / uv[:, 2]).astype(int)
+    v = np.round(uv[:, 1] / uv[:, 2]).astype(int)
+    inside = (u >= 0) & (u < w) & (v >= 0) & (v < h) & (Xc[:, 2] > 0)
+    true_idx = np.where(inside, v * w + u, -1)
+
+    qsel = (np.arange(h * w).reshape(h, w)[::2, ::2]).reshape(-1)
+    tj, ins_j = true_idx[qsel], inside[qsel]
+    pred = np.asarray(idx_i2j[0])
+    vmj = np.asarray(vm_j[0, :, 0])
+    err = np.maximum(np.abs(pred % w - tj % w),
+                     np.abs(pred // w - tj // w))
+    m = ins_j & vmj
+    assert vmj[ins_j].mean() > 0.9, vmj[ins_j].mean()
+    assert (err[m] <= 1).mean() > 0.99, (err[m] <= 1).mean()
+    assert (err[m] > 3).mean() < 0.01, (err[m] > 3).mean()

@@ -385,3 +385,53 @@ def test_ivf_search_packed_equals_loop():
     full2 = np.zeros(ivf.n_images)
     full2[r2] = s2
     np.testing.assert_allclose(full2, full1, rtol=1e-6, atol=1e-9)
+
+
+def test_desc_global_retrieval_edges_pipeline(tmp_path):
+    """The pose-free desc_global retrieval-edge path through the full
+    SLAMSystem (local_opt.retrieval_edge_mode, ops/matching.py::
+    match_desc_global): with a desc-exporting engine the loop-closure
+    edges must be built WITHOUT the symmetric decode (desc batches > 0),
+    produce the same graph topology class (a non-consecutive edge), and
+    hold ATE parity with the sym-decode mode on the same clip."""
+    from mast3r_slam_tpu import evaluate
+    from mast3r_slam_tpu.pipeline import SLAMSystem
+    from mast3r_slam_tpu.testing import (
+        OracleEngine, SyntheticSequence, make_oracle_retrieval,
+    )
+    from mast3r_slam_tpu.utils.config import load_config
+
+    seq = SyntheticSequence(n_frames=24, h=32, w=48, seed=3,
+                            traj_scale=0.35, loop=True)
+
+    def run(mode):
+        cfg = load_config("config/eval_no_calib.yaml")
+        cfg["dataset"]["img_size"] = 48
+        cfg["local_opt"]["retrieval_edge_mode"] = mode
+        engine = OracleEngine(seq, noise_std=0.01, seed=7,
+                              export_desc=True)
+        retrieval = make_oracle_retrieval(seq, engine)
+        system = SLAMSystem(cfg, engine, (seq.h, seq.w), buffer=32,
+                            retrieval=retrieval)
+        for i in range(len(seq)):
+            system.process_frame(i, seq.images[i])
+        system.terminate()
+        est = tmp_path / f"est_{mode}.txt"
+        evaluate.save_traj(tmp_path, est.name, seq.timestamps,
+                           system.arena)
+        seq.write_gt(tmp_path / "gt.txt")
+        ate = evaluate.ate_rmse(tmp_path / "gt.txt", est, max_diff=0.05)
+        return system, ate
+
+    sys_d, ate_d = run("desc_global")
+    sys_s, ate_s = run("sym")
+
+    assert getattr(sys_d.graph, "n_desc_batches", 0) >= 1
+    assert getattr(sys_s.graph, "n_desc_batches", 0) == 0
+    g = sys_d.graph
+    span = np.abs(g.ii[:g.n_edges].astype(int)
+                  - g.jj[:g.n_edges].astype(int))
+    assert (span > 1).any(), "no loop-closure edge entered the graph"
+    # the desc-matched loop closures must serve BA as well as decoded ones
+    assert ate_d <= max(ate_s * 1.25, ate_s + 0.01), (ate_d, ate_s)
+    assert ate_d < 0.15, ate_d
