@@ -714,6 +714,65 @@ def main():
         f"{protocol_ms:.1f} ms -> {protocol_fps:.2f} FPS "
         f"(single-thread eval-protocol semantics, rates {rates_src})")
 
+    # --- threaded single-chip overlap (VERDICT r4 next #3a) ---------------
+    # The threaded pipeline dispatches backend keyframe rounds from a
+    # second host thread while the frontend tracks — on ONE chip the
+    # device serializes the compute, so the only hideable cost is host
+    # and dispatch work.  Measure it honestly instead of assuming: wall
+    # time of (frontend chain + concurrently dispatched backend chain)
+    # vs the frontend chain alone; the difference is what the backend
+    # REALLY adds per frame when sharing the chip, and the hidden
+    # fraction is reported.
+    def frame_chain_step0(params, carry):
+        frame, keyframe, im, q = carry
+        if use_int8_enc:  # q rides the carry (no closure constants)
+            feat, pos = encode_int8(params, q, im, cfg)
+        else:
+            feat, pos = model.apply(params, im, method=MASt3R.encode)
+        frame = frame.replace(
+            feat=frame.feat + 1e-12 * jnp.mean(feat).astype(
+                frame.feat.dtype))
+        frame, keyframe = track_chain_step(params, (frame, keyframe))
+        im = im + 1e-12 * frame.feat[0, 0]
+        return (frame, keyframe, im, q)
+
+    def chain0(step, n, readback):
+        @jax.jit
+        def f(params, carry):
+            body = lambda i, c: step(params, c)  # noqa: E731
+            return readback(jax.lax.fori_loop(0, n, body, carry))
+        return f
+
+    front_args0 = (params, (frame0, kf, img,
+                            qparams_b if use_int8_enc else jnp.zeros(())))
+    back_args0 = (params, (Xi_w, Xj_w, D8i, D8j))
+    n_bk0 = max(1, round(N * kf_rate))
+
+    def run_1chip(nf, nb, with_back):
+        f_front = chain0(frame_chain_step0, nf, lambda c: c[0].feat[0, 0])
+        f_back = chain0(kf_edge_step, nb, lambda c: c[0][0, 0, 0, 0])
+        float(f_front(*front_args0))
+        float(f_back(*back_args0))  # warm
+        t0 = time.time()
+        h_back = f_back(*back_args0) if with_back else None
+        h_front = f_front(*front_args0)
+        float(h_front)
+        if h_back is not None:
+            float(h_back)
+        return time.time() - t0
+
+    w_pair = (run_1chip(2 * N, 2 * n_bk0, True)
+              - run_1chip(N, n_bk0, True)) / N * 1e3
+    w_front = (run_1chip(2 * N, 0, False)
+               - run_1chip(N, 0, False)) / N * 1e3
+    added_ms = max(w_pair - w_front, 0.0)
+    back_alone_ms = kfedge_ms * n_bk0 / N
+    hidden_frac = max(0.0, 1.0 - added_ms / max(back_alone_ms, 1e-9))
+    log(f"  threaded-1chip: frontend {w_front:.1f} ms/frame, +backend "
+        f"concurrent {w_pair:.1f} -> backend adds {added_ms:.2f} of its "
+        f"{back_alone_ms:.2f} ms/frame ({hidden_frac * 100:.0f}% hidden "
+        f"by dispatch overlap; device compute serializes on one chip)")
+
     # --- two-chip frontend/backend split (VERDICT r2 next #7) ------------
     # With >= 2 devices, --backend-device semantics run kf_edge + BA on a
     # second chip overlapping the frontend chain (pipeline.py).  Measure
@@ -823,6 +882,8 @@ def main():
             "gn_iters": gn_iters,
             "rates_src": rates_src,
             "int8_encoder": use_int8_enc,
+            "threaded_1chip_backend_added_ms": round(added_ms, 2),
+            "threaded_1chip_hidden_frac": round(hidden_frac, 3),
         },
     }
     # final honesty gate (VERDICT r4 next #2): a breakdown containing a
