@@ -40,6 +40,12 @@ def main():
                     help="comma-separated scene filter (default all; "
                          "one-scene-per-process dodges the known CPU-XLA "
                          "teardown segfault after ~15 in-process runs)")
+    ap.add_argument("--loop-closure", action="store_true",
+                    help="closed-loop fixture with oracle retrieval + "
+                         "descriptor export: A/Bs the retrieval-edge "
+                         "approximations (desc_global vs sym vs "
+                         "reference_exact) through real loop-closure "
+                         "edges instead of the frontend stack")
     args = ap.parse_args()
 
     from mast3r_slam_tpu import evaluate
@@ -52,21 +58,35 @@ def main():
     base = load_config("config/eval_no_calib.yaml")
     base["dataset"]["img_size"] = max(H, W)
 
-    variants = {
-        "production": {},
-        "points_subsample=1": {("local_opt", "points_subsample"): 1},
-        "reuse_track_matches=off": {
-            ("local_opt", "reuse_track_matches"): False},
-        "per-component huber": {("tracking", "joint_ray_huber"): False},
-        "reference_exact": None,  # the full exact bundle
-    }
+    if args.loop_closure:
+        variants = {
+            "production(desc_global)": {},
+            "retrieval_edge_mode=sym": {
+                ("local_opt", "retrieval_edge_mode"): "sym"},
+            "reference_exact": None,
+        }
+    else:
+        variants = {
+            "production": {},
+            "points_subsample=1": {("local_opt", "points_subsample"): 1},
+            "reuse_track_matches=off": {
+                ("local_opt", "reuse_track_matches"): False},
+            "per-component huber": {("tracking", "joint_ray_huber"): False},
+            "reference_exact": None,  # the full exact bundle
+        }
     if args.variants:
         keep = {v.strip() for v in args.variants.split(",")}
         variants = {k: v for k, v in variants.items() if k in keep}
 
+    from mast3r_slam_tpu.testing import make_oracle_retrieval
+
     def run(cfg, seq):
-        eng = OracleEngine(seq, noise_std=args.noise)
-        s = SLAMSystem(cfg, eng, (seq.h, seq.w), buffer=32)
+        eng = OracleEngine(seq, noise_std=args.noise,
+                           export_desc=args.loop_closure)
+        retrieval = make_oracle_retrieval(seq, eng) \
+            if args.loop_closure else None
+        s = SLAMSystem(cfg, eng, (seq.h, seq.w), buffer=32,
+                       retrieval=retrieval)
         for i in range(len(seq)):
             s.process_frame(i, seq.images[i])
         s.terminate()
@@ -74,12 +94,20 @@ def main():
         evaluate.save_traj(d, "t.txt", seq.timestamps, s.arena)
         seq.write_gt(d / "gt.txt")
         gn = s.tracker.gn_iters_total / max(s.tracker.gn_frames, 1)
+        if args.loop_closure:
+            print(f"    [desc batches {getattr(s.graph, 'n_desc_batches', 0)}"
+                  f" fallbacks {getattr(s.graph, 'n_desc_fallbacks', 0)}"
+                  f" retrieval edges {s.stats['retrieval_edges']}]",
+                  file=sys.stderr, flush=True)
         return evaluate.ate_rmse(d / "gt.txt", d / "t.txt",
                                  max_diff=0.05), gn
 
     # per-scene motion scale: the smooth surface tracks so well at 0.45
     # that no second keyframe is ever created (nothing to ATE-score)
     scenes = {"smooth": 0.9, "cliff": 0.45, "occluder": 0.45}
+    if args.loop_closure:
+        # closed-loop revisit fixture (the make_rates trajectory class)
+        scenes = {"smooth": 0.35, "cliff": 0.3, "occluder": 0.3}
     if args.scenes:
         keep = {x.strip() for x in args.scenes.split(",")}
         scenes = {k: v for k, v in scenes.items() if k in keep}
@@ -87,7 +115,8 @@ def main():
     for scene, tscale in scenes.items():
         seq = SyntheticSequence(n_frames=args.frames, h=H, w=W,
                                 seed=args.seed, traj_scale=tscale,
-                                scene=scene)
+                                scene=scene, loop=args.loop_closure,
+                                cycles=2 if args.loop_closure else 1)
         row = {}
         for name, mods in variants.items():
             cfg = copy.deepcopy(base)
