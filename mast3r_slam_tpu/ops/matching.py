@@ -881,16 +881,36 @@ def match_desc_global(D8_i, D8_j, dconf_i, dconf_j, h, w,
     def half_queries(D8):
         return D8[:, ::2, ::2].reshape(b, h2 * w2, -1)
 
-    def one_direction(D_tab, D_q):
-        # coarse: global argmax over the s=4 key grid (+ the competing
-        # peak outside the spatial exclusion zone), then the production
-        # refine ladder at full table resolution
-        pos, score, second = _coarse_global_argmax(D_tab, D_q, h, w,
-                                                   s_key=4)
-        pos = refine_matches(D_tab, D_q, pos, radius=2, dilation_max=2,
+    h4, w4 = h // 4, w // 4
+
+    def expand2x(A):
+        """(b, h4*w4, ...) quarter-grid field -> (b, h2*w2, ...) half grid
+        (each half-grid query inherits its parent quarter-cell)."""
+        A4 = A.reshape((A.shape[0], h4, w4) + A.shape[2:])
+        A4 = jnp.repeat(jnp.repeat(A4, 2, axis=1), 2, axis=2)
+        return A4.reshape((A.shape[0], h2 * w2) + A.shape[2:])
+
+    def quarter_queries(D8):
+        return D8[:, ::4, ::4].reshape(b, h4 * w4, -1)
+
+    def one_direction(D_tab, D_q4, D_qh):
+        # coarse: global argmax on the QUARTER-grid queries over the s=4
+        # key grid (+ the competing peak outside the spatial exclusion
+        # zone) — 4x fewer score rows than half-grid queries (the coarse
+        # stage is HBM-bound on the (chunk, n_keys) int32 score blocks);
+        # each half-grid query inherits its parent quarter-cell's coarse
+        # position, and the first refine stage's reach (radius*dilation =
+        # 4 px) absorbs the <=2 px query-sharing offset on top of the
+        # <=2 px key granularity.  Then the production refine ladder on
+        # the half-grid queries at full table resolution.
+        pos4, _, second4 = _coarse_global_argmax(D_tab, D_q4, h, w,
+                                                 s_key=4)
+        pos = expand2x(pos4)
+        second = expand2x(second4)
+        pos = refine_matches(D_tab, D_qh, pos, radius=2, dilation_max=2,
                              coarse_bits=cfg.coarse_bits, dilation_min=2,
                              u_pack=5)
-        pos = refine_matches(D_tab, D_q, pos, radius=2, dilation_max=1,
+        pos = refine_matches(D_tab, D_qh, pos, radius=2, dilation_max=1,
                              coarse_bits=cfg.coarse_bits, u_pack=5)
         pos = jnp.clip(pos, 0, lim)
         # score at the REFINED position (the coarse winner sits up to 2 px
@@ -903,13 +923,13 @@ def match_desc_global(D8_i, D8_j, dconf_i, dconf_j, h, w,
         d_at = jnp.take_along_axis(
             tab_flat, pixel_to_lin(pos, w)[..., None], axis=1)
         rs = jnp.sum(
-            d_at.astype(jnp.int32) * D_q.astype(jnp.int32), axis=-1)
+            d_at.astype(jnp.int32) * D_qh.astype(jnp.int32), axis=-1)
         return pos, rs, second
 
-    Dq_j = half_queries(D8_j)   # queries of view j -> matched into i
-    Dq_i = half_queries(D8_i)
-    p_ij, s_ij, s2_ij = one_direction(D8_i, Dq_j)  # (b, h2*w2, 2) i coords
-    p_ji, s_ji, s2_ji = one_direction(D8_j, Dq_i)  # in j coords
+    p_ij, s_ij, s2_ij = one_direction(       # (b, h2*w2, 2) in i coords
+        D8_i, quarter_queries(D8_j), half_queries(D8_j))
+    p_ji, s_ji, s2_ji = one_direction(       # in j coords
+        D8_j, quarter_queries(D8_i), half_queries(D8_i))
 
     # gates (all pose-free):
     #  * mutual cycle: the reverse field at the matched pixel's half-cell
