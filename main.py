@@ -102,6 +102,16 @@ def parse_args():
                         "(PatchEmbed / enc attn / enc mlp / dec self+cross"
                         "+mlp) and print the reference-style summary")
     p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--start-frame", type=int, default=0,
+                   help="first (post-subsample) frame index to process — "
+                        "segmented long drives resume here")
+    p.add_argument("--resume-state", default="",
+                   help="SLAM-state checkpoint to restore before the run "
+                        "(save_state format; retrieval index replayed "
+                        "from the restored arena)")
+    p.add_argument("--state-out", default="",
+                   help="write a SLAM-state checkpoint at the end of the "
+                        "run (segmented drives chain these)")
     p.add_argument("--reference-exact", action="store_true",
                    help="disable every TPU fast-path approximation "
                         "(full-res matcher walk, per-component huber, "
@@ -223,6 +233,9 @@ def main():
         h, w = seq.h, seq.w
         config["dataset"]["img_size"] = max(h, w)
         engine = OracleEngine(seq, export_desc=args.oracle_desc)
+        # segmented resume: the oracle carries frame identity in an
+        # encode-call counter — align it with the first processed frame
+        engine._encode_counter = max(int(args.start_frame), 0)
         K = seq.K if use_calib else None
         if args.oracle_retrieval:
             from mast3r_slam_tpu.testing import make_oracle_retrieval
@@ -281,6 +294,10 @@ def main():
         dp.parent.mkdir(parents=True, exist_ok=True)
         diag_f = open(dp, "w")
         system.diag = True  # per-frame pose in the info dict
+    if args.resume_state:
+        system.load_state(args.resume_state)
+        print(f"resumed from {args.resume_state}: "
+              f"{int(system.arena.n_size)} keyframes, mode={system.mode}")
     fps_timer = time.time()
 
     # Prefetch pipeline: frame i+1's host work (imread + undistort +
@@ -294,8 +311,9 @@ def main():
         return ts, raw, system.prepare_image(raw)
 
     prefetch = ThreadPoolExecutor(max_workers=1)
-    fut = prefetch.submit(load, 0)
-    for i in range(n):
+    i0 = max(int(args.start_frame), 0)
+    fut = prefetch.submit(load, i0)
+    for i in range(i0, n):
         if viewer is not None:
             # pause/step control channel (reference WindowMsg semantics:
             # main.py:291-303)
@@ -326,6 +344,12 @@ def main():
             print(f"FPS: {i / (time.time() - fps_timer):.2f}  "
                   f"mode={info['mode']} kf={system.stats['keyframes']}")
     prefetch.shutdown(wait=False)
+    if args.state_out:
+        # save BEFORE terminate: the mode machine must resume where it
+        # left off, not in TERMINATED
+        system.drain() if not system.single_thread else None
+        system.save_state(args.state_out)
+        print(f"state saved to {args.state_out}")
     system.terminate()
     if viewer is not None:
         viewer.publish(system.arena, stats=system.stats)

@@ -135,7 +135,7 @@ class MatchingConfig(NamedTuple):
     desc_global_mutual_px: int = 2
     desc_global_min_cos: float = 0.85
     desc_global_min_margin: float = 0.1
-    desc_global_max_mult: int = 2
+    desc_global_max_mult: int = 8
 
     @classmethod
     def from_dict(cls, d: dict) -> "MatchingConfig":
@@ -162,7 +162,7 @@ class MatchingConfig(NamedTuple):
             desc_global_min_cos=float(d.get("desc_global_min_cos", 0.85)),
             desc_global_min_margin=float(
                 d.get("desc_global_min_margin", 0.1)),
-            desc_global_max_mult=int(d.get("desc_global_max_mult", 2)),
+            desc_global_max_mult=int(d.get("desc_global_max_mult", 8)),
         )
 
 
@@ -940,8 +940,10 @@ def match_desc_global(D8_i, D8_j, dconf_i, dconf_j, h, w,
     #    non-covisible queries have flat score fields and die here);
     #  * multiplicity: a target half-cell claimed by more than
     #    desc_global_max_mult queries is a funnel (non-covisible queries
-    #    pile onto frustum-border pixels; true correspondences are
-    #    near-bijective on the matched grid);
+    #    pile onto frustum-border pixels).  LOOSE backstop (default 8):
+    #    Sim(3) zoom makes legitimate many-to-one regions, and the
+    #    cosine floor already kills the border funnel — max_mult=2 was
+    #    measured to reject ~2/3 of TRUE matches on wide-baseline pairs;
     #  * absolute cosine floor.
     f_norm = 127.0 * 127.0  # prenorm q8 scale: unit descriptors at 127
 

@@ -730,6 +730,10 @@ class SLAMSystem:
         self.arena = self.arena.replace(
             T_WC=_sim3.normalize(self.arena.T_WC))
         self.mode = Mode(int(d["mode"]))
+        if self.mode == Mode.TERMINATED:
+            # pre-fix checkpoints written after terminate(); resume
+            # tracking against the restored map
+            self.mode = Mode.TRACKING
         self.last_T_WC = _sim3.normalize(jnp.asarray(d["last_T_WC"]))
         g = self.graph
         g.ii = d["graph_ii"].copy()
@@ -740,6 +744,22 @@ class SLAMSystem:
         # --backend-device mode (plain asarray would land the restored
         # arrays on the default device and silently copy cross-chip on
         # every subsequent backend round)
+        # resume with a live retrieval database: the IVF is not part of
+        # the checkpoint (host-side numpy state), but every restored
+        # keyframe's encoder tokens are — replay them into the index so
+        # proposals against pre-checkpoint keyframes keep firing
+        # (segmented long drives, scripts/segmented_drive.py)
+        if getattr(self.retrieval, "kf_counter", None) == 0:
+            n_restored = int(self.arena.n_size)
+            feats = np.asarray(self.arena.feat[:n_restored])
+
+            class _F:
+                def __init__(self, feat):
+                    self.feat = feat
+
+            for r in range(n_restored):
+                self.retrieval.update(_F(jnp.asarray(feats[r])),
+                                      add_after_query=True, k=0)
         g.idx_ii2jj = g._put(jnp.asarray(d["graph_idx_ii2jj"]))
         g.idx_jj2ii = g._put(jnp.asarray(d["graph_idx_jj2ii"]))
         g.valid_match_j = g._put(jnp.asarray(d["graph_vmj"]))
