@@ -110,21 +110,31 @@ def main():
     # fixtures would otherwise exit degenerately after ~1).  BENCH_GN_ITERS
     # overrides (set 50 for the worst-case cap).
     gn_iters = int(os.environ.get("BENCH_GN_ITERS", "0"))
+    ba_iters = int(os.environ.get("BENCH_BA_ITERS", "0"))
+    rp = os.environ.get("BENCH_RATES", "bench_rates.json")
+    mj = {}
+    if os.path.exists(rp):
+        try:
+            with open(rp) as f:
+                mj = json.load(f)
+            if mj.get("reference_exact"):
+                mj = {}
+        except Exception:
+            mj = {}
     if not gn_iters:
-        rp = os.environ.get("BENCH_RATES", "bench_rates.json")
         gn_iters = 50
-        if os.path.exists(rp):
-            try:
-                with open(rp) as f:
-                    mj = json.load(f)
-                m = None if mj.get("reference_exact") else \
-                    mj.get("mean_gn_iters")
-                if m:
-                    gn_iters = max(1, round(float(m)))
-            except Exception:
-                pass
+        if mj.get("mean_gn_iters"):
+            gn_iters = max(1, round(float(mj["mean_gn_iters"])))
+    if not ba_iters:
+        # the BA while_loop exits at delta_norm like the reference
+        # kernel's early-out (gn_kernels.cu delta_thresh); the pipeline
+        # measures the real cadence (rates mean_ba_iters) — cap 10
+        ba_iters = 10
+        if mj.get("mean_ba_iters"):
+            ba_iters = max(1, round(float(mj["mean_ba_iters"])))
     log(f"  GN iterations per track step: {gn_iters} "
-        f"(measured cadence; cap 50 — BENCH_GN_ITERS overrides)")
+        f"(measured cadence; cap 50 — BENCH_GN_ITERS overrides); "
+        f"BA iterations per solve: {ba_iters} (cap 10 — BENCH_BA_ITERS)")
     tcfg = trk.TrackerConfig(C_conf=-1e9, Q_conf=-1e9, rel_error=0.0,
                              delta_norm=0.0, max_iters=gn_iters)
     K = jnp.eye(3)
@@ -418,7 +428,8 @@ def main():
 
     _lo = load_config("config/base.yaml")["local_opt"]
     bacfg = ba_ops.BAConfig(
-        delta_norm=0.0,  # no early exit
+        delta_norm=0.0,  # no early exit; the COUNT is the measured cadence
+        max_iters=ba_iters,
         points_subsample=int(_lo.get("points_subsample", 1)),
     )
 
@@ -443,8 +454,8 @@ def main():
             return (Twc2, Xs, Cs, idx2, vm2, Q2)
 
         ba_ms = timed_chain(ba_step, (Twc0, Xs, Cs, idx2, vm2, Q2),
-                            "ba(16kf, 64 two-way edges, 10 iters, "
-                            "cold cache)",
+                            f"ba(16kf, 64 two-way edges, {ba_iters} iters, "
+                            f"cold cache)",
                             lambda c: c[0][1, 0])
     else:
         # Production operating point: the FactorGraph's incremental
@@ -517,7 +528,7 @@ def main():
 
         solve_ms = timed_chain(
             ba_step, (Twc0, Xar, pre6),
-            "ba_cached_solve(16kf, 64 two-way rows, 10 iters)",
+            f"ba_cached_solve(16kf, 64 two-way rows, {ba_iters} iters)",
             lambda c: c[0][1, 0],
         )
         ba_ms = refresh_ms + solve_ms
@@ -880,6 +891,7 @@ def main():
             "retrieval_edge_rate": retr_rate,
             "retrieval_accept_rate": retr_accept_rate,
             "gn_iters": gn_iters,
+            "ba_iters": ba_iters,
             "rates_src": rates_src,
             "int8_encoder": use_int8_enc,
             "threaded_1chip_backend_added_ms": round(added_ms, 2),

@@ -382,6 +382,10 @@ def main():
         # descriptor matcher served, and what fraction of proposals fell
         # back to the symmetric decode (bench.py prices the desc mode as
         # mdg + fallback_rate * sym)
+        "mean_ba_iters": (
+            getattr(system, "ba_iters_total", 0)
+            / max(system.stats["ba_rounds"], 1)
+        ),
         "desc_edge_batches": int(getattr(system.graph,
                                          "n_desc_batches", 0)),
         "desc_fallback_rate": (

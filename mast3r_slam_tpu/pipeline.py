@@ -593,6 +593,12 @@ class SLAMSystem:
                 )
         if stats is not None:
             self.stats["ba_rounds"] += 1
+            # measured BA iteration cadence (the while_loop exits at
+            # delta_norm like the reference kernel's early-out;
+            # bench runs the measured count — same argument as the
+            # tracker's mean_gn_iters)
+            self.ba_iters_total = getattr(self, "ba_iters_total", 0) \
+                + int(stats[0])
 
     def _snapshot(self):
         """Consistent backend view of the arena: the mirror (backend-chip
