@@ -665,6 +665,9 @@ class SLAMSystem:
             return True
         with self._lock:
             self.arena = arena_pop_last(self.arena)
+            # a future keyframe will REUSE this row — a stale descriptor
+            # table keyed here would poison its desc_global edges
+            self.graph.desc_store.pop(int(self.arena.n_size), None)
             self._kf_count -= 1
             if self._bdev is not None:
                 self._n_kf_host -= 1
