@@ -386,6 +386,10 @@ def main():
             getattr(system, "ba_iters_total", 0)
             / max(system.stats["ba_rounds"], 1)
         ),
+        "ba_ok_rate": (
+            getattr(system, "ba_ok_total", 0)
+            / max(system.stats["ba_rounds"], 1)
+        ),
         "desc_edge_batches": int(getattr(system.graph,
                                          "n_desc_batches", 0)),
         "desc_fallback_rate": (

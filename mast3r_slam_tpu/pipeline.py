@@ -599,6 +599,8 @@ class SLAMSystem:
             # tracker's mean_gn_iters)
             self.ba_iters_total = getattr(self, "ba_iters_total", 0) \
                 + int(stats[0])
+            self.ba_ok_total = getattr(self, "ba_ok_total", 0) \
+                + int(bool(stats[2]))
 
     def _snapshot(self):
         """Consistent backend view of the arena: the mirror (backend-chip
@@ -710,6 +712,14 @@ class SLAMSystem:
                 [self.stats[k] for k in sorted(self.stats)], np.int64
             ),
             stats_keys=np.asarray(sorted(self.stats)),
+            # cadence counters (segmented drives: per-process totals
+            # would divide by the CUMULATIVE restored round counts)
+            cadence=np.asarray([
+                getattr(self, "ba_iters_total", 0),
+                getattr(self, "ba_ok_total", 0),
+                getattr(self.tracker, "gn_iters_total", 0),
+                getattr(self.tracker, "gn_frames", 0),
+            ], np.int64),
             **arrays,
         )
 
@@ -738,6 +748,12 @@ class SLAMSystem:
         from .ops import lie_sim3 as _sim3
         self.arena = self.arena.replace(
             T_WC=_sim3.normalize(self.arena.T_WC))
+        if "cadence" in d:
+            cad = d["cadence"]
+            self.ba_iters_total = int(cad[0])
+            self.ba_ok_total = int(cad[1])
+            self.tracker.gn_iters_total = int(cad[2])
+            self.tracker.gn_frames = int(cad[3])
         self.mode = Mode(int(d["mode"]))
         if self.mode == Mode.TERMINATED:
             # pre-fix checkpoints written after terminate(); resume
