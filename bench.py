@@ -353,6 +353,16 @@ def main():
                          "retrieval_edge(desc_global, pose-free)",
                          lambda c: c[0][0, 0, 0, 0].astype(jnp.float32))
 
+    # B=2 batch (proposals arrive ~1.6/keyframe round in ONE add_factors
+    # batch; the marginal edge is cheaper than a second dispatch —
+    # coarse matmuls batch on the MXU)
+    D8a2 = jnp.concatenate([D8a0, D8b0], axis=0)
+    D8b2 = jnp.concatenate([D8b0, D8a0], axis=0)
+    dc2 = jnp.concatenate([dc0, dc0], axis=0)
+    mdg2_ms = timed_chain(mdg_step, (D8a2, D8b2, dc2, dc2),
+                          "retrieval_edge(desc_global, 2-edge batch)",
+                          lambda c: c[0][0, 0, 0, 0].astype(jnp.float32))
+
     # production consecutive-edge path (local_opt.reuse_track_matches +
     # reuse_warp): the tracker's direction is reused AND the completing
     # i->j direction is matched DECODE-FREE from canonical pointmaps +
@@ -695,11 +705,22 @@ def main():
         except Exception:
             pass
     if edge_mode == "desc_global":
-        # pose-free desc matching per proposal; gate-rejected proposals
-        # additionally pay the sym decode fallback at the measured rate
-        sym_frame_ms = retr_rate * (mdg_ms + fb_rate * sym_ms)
-        sym_model = (f"{retr_rate:.2f}*({mdg_ms:.1f} desc"
-                     f"+{fb_rate:.2f}*{sym_ms:.1f} fb)")
+        # pose-free desc matching per proposal, batched per keyframe
+        # round like the sym path (e_mean proposals share one call);
+        # gate-rejected proposals additionally pay the sym decode
+        # fallback at the measured rate
+        mdg_marg = max(mdg2_ms - mdg_ms, 0.0)
+        if e_mean > 1.0:
+            desc_round = mdg_ms + (e_mean - 1.0) * mdg_marg
+            sym_frame_ms = kf_rate * desc_round \
+                + retr_rate * fb_rate * sym_ms
+            sym_model = (f"{kf_rate:.2f}*({mdg_ms:.1f}+"
+                         f"{e_mean - 1.0:.2f}*{mdg_marg:.1f}) desc"
+                         f"+{retr_rate:.2f}*{fb_rate:.2f}*{sym_ms:.1f} fb")
+        else:
+            sym_frame_ms = retr_rate * (mdg_ms + fb_rate * sym_ms)
+            sym_model = (f"{retr_rate:.2f}*({mdg_ms:.1f} desc"
+                         f"+{fb_rate:.2f}*{sym_ms:.1f} fb)")
     elif e_mean > 1.0:
         sym_frame_ms = kf_rate * (sym_ms + (e_mean - 1.0) * marg_ms)
         sym_model = (f"{kf_rate:.2f}*({sym_ms:.1f}+"
@@ -883,6 +904,7 @@ def main():
             "retrieval_edge_sym": round(sym_ms, 2),
             "retrieval_edge_sym2": round(sym2_ms, 2),
             "retrieval_edge_desc": round(mdg_ms, 2),
+            "retrieval_edge_desc2": round(mdg2_ms, 2),
             "retrieval_edge_mode": edge_mode,
             "desc_fallback_rate": round(fb_rate, 3),
             "retrieval_ms": round(retrieval_ms, 2),
