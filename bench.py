@@ -705,22 +705,14 @@ def main():
         except Exception:
             pass
     if edge_mode == "desc_global":
-        # pose-free desc matching per proposal, batched per keyframe
-        # round like the sym path (e_mean proposals share one call);
-        # gate-rejected proposals additionally pay the sym decode
-        # fallback at the measured rate
-        mdg_marg = max(mdg2_ms - mdg_ms, 0.0)
-        if e_mean > 1.0:
-            desc_round = mdg_ms + (e_mean - 1.0) * mdg_marg
-            sym_frame_ms = kf_rate * desc_round \
-                + retr_rate * fb_rate * sym_ms
-            sym_model = (f"{kf_rate:.2f}*({mdg_ms:.1f}+"
-                         f"{e_mean - 1.0:.2f}*{mdg_marg:.1f}) desc"
-                         f"+{retr_rate:.2f}*{fb_rate:.2f}*{sym_ms:.1f} fb")
-        else:
-            sym_frame_ms = retr_rate * (mdg_ms + fb_rate * sym_ms)
-            sym_model = (f"{retr_rate:.2f}*({mdg_ms:.1f} desc"
-                         f"+{fb_rate:.2f}*{sym_ms:.1f} fb)")
+        # pose-free desc matching PER PROPOSAL: add_factors runs E=1
+        # programs sequentially (a B=2 batch measures 2.6x the B=1 cost
+        # — working-set spill; mdg2 is reported for the record), so the
+        # per-proposal price is exactly mdg1.  Gate-rejected proposals
+        # additionally pay the sym decode fallback at the measured rate.
+        sym_frame_ms = retr_rate * (mdg_ms + fb_rate * sym_ms)
+        sym_model = (f"{retr_rate:.2f}*({mdg_ms:.1f} desc"
+                     f"+{fb_rate:.2f}*{sym_ms:.1f} fb)")
     elif e_mean > 1.0:
         sym_frame_ms = kf_rate * (sym_ms + (e_mean - 1.0) * marg_ms)
         sym_model = (f"{kf_rate:.2f}*({sym_ms:.1f}+"

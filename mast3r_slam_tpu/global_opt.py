@@ -521,17 +521,23 @@ class FactorGraph:
         if use_desc:
             self.n_desc_batches = getattr(self, "n_desc_batches", 0) + 1
             h_img, w_img = arena.img_hw
-            D8i = jnp.concatenate(
-                [self.desc_store[r][0] for r in ii_pad], axis=0)
-            D8j = jnp.concatenate(
-                [self.desc_store[r][0] for r in jj_pad], axis=0)
-            dci = jnp.concatenate(
-                [self.desc_store[r][1] for r in ii_pad], axis=0)
-            dcj = jnp.concatenate(
-                [self.desc_store[r][1] for r in jj_pad], axis=0)
+            # PER-EDGE calls, not one B-batch: a B=2 batch measures 2.6x
+            # the B=1 cost on v5e (36.6 vs 13.9 ms — the refine stages'
+            # working set spills, the same reason the sym decode scans
+            # per edge with lax.map); B sequential E=1 programs are
+            # strictly cheaper and recompile-free (fixed shapes)
+            per = [
+                self._mdg_jit(self.desc_store[a][0],
+                              self.desc_store[b][0],
+                              self.desc_store[a][1],
+                              self.desc_store[b][1],
+                              h=h_img, w=w_img)
+                for a, b in zip(ii_pad, jj_pad)
+            ]
             (idx_i2j, idx_j2i, valid_match_j, valid_match_i,
-             Qii, Qjj, Qji, Qij) = self._mdg_jit(
-                D8i, D8j, dci, dcj, h=h_img, w=w_img)
+             Qii, Qjj, Qji, Qij) = (
+                jnp.concatenate([p[k] for p in per], axis=0)
+                for k in range(8))
         else:
             kw = {} if self.params is None else {"params": self.params}
             (idx_i2j, idx_j2i, valid_match_j, valid_match_i,
