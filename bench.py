@@ -97,6 +97,7 @@ def main():
         match_cfg=MatchingConfig(dist_thresh=1e9, coarse_subsample=2,
                                  final_radius=1, coarse_radius=2,
                                  dilation_schedule=(4, 2), lm_subsample=4,
+                                 occlusion_subsample=2,
                                  edge_query_subsample=2),
     )  # coarse_subsample=2 + final_radius=1 + coarse_radius=2 + the (4,2)
        # dilation schedule + lm_subsample=4 + edge_query_subsample=2

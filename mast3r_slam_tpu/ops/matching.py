@@ -345,10 +345,11 @@ def iter_proj(rays_with_grad_img, pts3d_norm, p_init, max_iter=10,
 @functools.partial(
     jax.jit,
     static_argnames=("radius", "dilation_max", "u_pack", "qmajor",
-                     "coarse_bits", "dilation_min"),
+                     "coarse_bits", "dilation_min", "return_score"),
 )
 def refine_matches(D11, D21, p1, radius=3, dilation_max=5, u_pack=2,
-                   qmajor=True, coarse_bits=8, dilation_min=1):
+                   qmajor=True, coarse_bits=8, dilation_min=1,
+                   return_score=False):
     """Coarse-to-fine dilated window argmax of descriptor dot products.
 
     D11: (b, h, w, f) descriptor image; D21: (b, n, f) query descriptors;
@@ -500,7 +501,7 @@ def refine_matches(D11, D21, p1, radius=3, dilation_max=5, u_pack=2,
                            u0 + (kbest // k_side) * d - rd)
             vb = jnp.where(keep_center, v0,
                            v0 + (kbest % k_side) * d - rd)
-            return jnp.stack([ub, vb], axis=-1)
+            return jnp.stack([ub, vb], axis=-1), sbest
 
         q_t = jnp.moveaxis(D21c, 1, 2)[:, None]            # (b, 1, f, n)
         score_blocks = []
@@ -543,10 +544,16 @@ def refine_matches(D11, D21, p1, radius=3, dilation_max=5, u_pack=2,
             keep_center, v0,
             jnp.take_along_axis(vv, kbest[:, None, :], axis=1)[:, 0],
         )
-        return jnp.stack([ub, vb], axis=-1)
+        return jnp.stack([ub, vb], axis=-1), sbest
 
+    sbest = None
     for d in range(dilation_max, dilation_min - 1, -1):
-        uv0 = per_dilation(uv0, d)
+        uv0, sbest = per_dilation(uv0, d)
+    if return_score:
+        # the LAST dilation's winning-probe score, already computed for
+        # the keep_center decision — free for callers gating on the
+        # final descriptor similarity (match_desc_global)
+        return uv0, sbest
     return uv0
 
 
@@ -910,20 +917,19 @@ def match_desc_global(D8_i, D8_j, dconf_i, dconf_j, h, w,
         pos = refine_matches(D_tab, D_qh, pos, radius=2, dilation_max=2,
                              coarse_bits=cfg.coarse_bits, dilation_min=2,
                              u_pack=5)
-        pos = refine_matches(D_tab, D_qh, pos, radius=2, dilation_max=1,
-                             coarse_bits=cfg.coarse_bits, u_pack=5)
+        # the final d=1 pass returns its winning-probe score for free —
+        # the score at the REFINED position (the coarse winner sits up
+        # to 2 px off and under-reads true matches; a true
+        # correspondence scores ~the descriptor autocorrelation peak
+        # while a non-covisible query's smooth-field optimum stays near
+        # its coarse value — the margin that separates them).  When the
+        # window keeps the center (all scores <= 0) the returned score
+        # is negative and the cosine floor rejects the match anyway.
+        pos, rs = refine_matches(D_tab, D_qh, pos, radius=2,
+                                 dilation_max=1,
+                                 coarse_bits=cfg.coarse_bits, u_pack=5,
+                                 return_score=True)
         pos = jnp.clip(pos, 0, lim)
-        # score at the REFINED position (the coarse winner sits up to 2 px
-        # off and under-reads true matches; the refined score of a true
-        # correspondence is ~the descriptor autocorrelation peak, while a
-        # non-covisible query's smooth-field optimum stays near its coarse
-        # value — this is the margin that separates them)
-        b_ = D_tab.shape[0]
-        tab_flat = D_tab.reshape(b_, h * w, -1)
-        d_at = jnp.take_along_axis(
-            tab_flat, pixel_to_lin(pos, w)[..., None], axis=1)
-        rs = jnp.sum(
-            d_at.astype(jnp.int32) * D_qh.astype(jnp.int32), axis=-1)
         return pos, rs, second
 
     p_ij, s_ij, s2_ij = one_direction(       # (b, h2*w2, 2) in i coords

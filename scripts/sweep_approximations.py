@@ -72,6 +72,8 @@ def main():
             "reuse_track_matches=off": {
                 ("local_opt", "reuse_track_matches"): False},
             "per-component huber": {("tracking", "joint_ray_huber"): False},
+            "occlusion_subsample=2": {
+                ("matching", "occlusion_subsample"): 2},
             "reference_exact": None,  # the full exact bundle
         }
     if args.variants:
