@@ -125,21 +125,32 @@ def world_descriptors(X_world, f: int = 24, base_wavelength: float = 0.35,
     discriminative)."""
     x, y = X_world[:, 0], X_world[:, 1]
     feats = []
-    n_oct = f // 4
-    for k in range(n_oct):
-        if geometric:
-            # ladder spanning base..max(12, 32*base) so the longest
-            # period covers the scene regardless of how fine the base is
-            # (a fixed x2 octave ratio tops out too low when the base is
-            # footprint-scaled at production resolution)
-            top = max(12.0, 32.0 * base_wavelength)
-            ratio = (top / base_wavelength) ** (1.0 / max(n_oct - 1, 1))
-            wl = base_wavelength * (ratio ** k)
-        else:
+    if geometric:
+        # ladder spanning base..max(12, 32*base) so the longest period
+        # covers the scene regardless of how fine the base is (a fixed
+        # x2 octave ratio tops out too low when the base is
+        # footprint-scaled at production resolution).  z is encoded too:
+        # an (x, y)-only descriptor ALIASES across depth discontinuities
+        # (the cliff's two levels share (x, y) neighborhoods) in a way
+        # appearance-based MASt3R descriptors don't — measured 2x ATE on
+        # the cliff loop-closure sweep through desc_global before the z
+        # terms.
+        z = X_world[:, 2]
+        n_oct = f // 6
+        top = max(12.0, 32.0 * base_wavelength)
+        ratio = (top / base_wavelength) ** (1.0 / max(n_oct - 1, 1))
+        for k in range(n_oct):
+            freq = 2 * np.pi / (base_wavelength * (ratio ** k))
+            feats += [np.sin(freq * x), np.cos(freq * x),
+                      np.sin(freq * y), np.cos(freq * y),
+                      np.sin(freq * z), np.cos(freq * z)]
+    else:
+        n_oct = f // 4
+        for k in range(n_oct):
             wl = base_wavelength * n_oct / (k + 1)
-        freq = 2 * np.pi / wl
-        feats += [np.sin(freq * x), np.cos(freq * x),
-                  np.sin(freq * y), np.cos(freq * y)]
+            freq = 2 * np.pi / wl
+            feats += [np.sin(freq * x), np.cos(freq * x),
+                      np.sin(freq * y), np.cos(freq * y)]
     D = np.stack(feats, axis=-1).astype(np.float32)
     D /= np.linalg.norm(D, axis=-1, keepdims=True)
     return D

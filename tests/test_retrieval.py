@@ -435,3 +435,50 @@ def test_desc_global_retrieval_edges_pipeline(tmp_path):
     # the desc-matched loop closures must serve BA as well as decoded ones
     assert ate_d <= max(ate_s * 1.25, ate_s + 0.01), (ate_d, ate_s)
     assert ate_d < 0.15, ate_d
+
+
+def test_resume_replays_retrieval_index(tmp_path):
+    """Segmented-drive resume (scripts/segmented_drive.py): load_state
+    must replay the restored keyframes into a fresh retrieval database so
+    loop-closure proposals against PRE-checkpoint keyframes keep firing
+    in the resumed process."""
+    from mast3r_slam_tpu.pipeline import SLAMSystem
+    from mast3r_slam_tpu.testing import (
+        OracleEngine, SyntheticSequence, make_oracle_retrieval,
+    )
+    from mast3r_slam_tpu.utils.config import load_config
+
+    seq = SyntheticSequence(n_frames=24, h=32, w=48, seed=3,
+                            traj_scale=0.35, loop=True)
+    cfg = load_config("config/eval_no_calib.yaml")
+    cfg["dataset"]["img_size"] = 48
+
+    half = 12
+    eng_a = OracleEngine(seq)
+    ret_a = make_oracle_retrieval(seq, eng_a)
+    sys_a = SLAMSystem(cfg, eng_a, (seq.h, seq.w), buffer=32,
+                       retrieval=ret_a)
+    for i in range(half):
+        sys_a.process_frame(i, seq.images[i])
+    kf_half = sys_a.stats["keyframes"]
+    sys_a.save_state(tmp_path / "st.npz")
+    assert kf_half >= 2
+
+    eng_b = OracleEngine(seq)
+    eng_b._encode_counter = half
+    ret_b = make_oracle_retrieval(seq, eng_b)  # FRESH (empty) database
+    sys_b = SLAMSystem(cfg, eng_b, (seq.h, seq.w), buffer=32,
+                       retrieval=ret_b)
+    sys_b.load_state(tmp_path / "st.npz")
+    # the replay indexed every restored keyframe
+    assert ret_b.kf_counter == kf_half, (ret_b.kf_counter, kf_half)
+    for i in range(half, len(seq)):
+        sys_b.process_frame(i, seq.images[i])
+    sys_b.terminate()
+    # the closed loop revisits the start: proposals must reference
+    # restored (pre-checkpoint) keyframes
+    assert sys_b.stats["retrieval_proposals"] > 0
+    g = sys_b.graph
+    span = np.abs(g.ii[:g.n_edges].astype(int)
+                  - g.jj[:g.n_edges].astype(int))
+    assert (span > 1).any(), "no loop-closure edge after resume"
