@@ -174,7 +174,15 @@ class LiveViewer:
         The blob carries grid-derived per-point normals and triangle
         indices so the client can render point / surfel / mesh modes (the
         counterparts of the reference's pointmap.glsl / surfelmap.glsl /
-        trianglemap.glsl shader programs)."""
+        trianglemap.glsl shader programs).  Surfel mode renders true
+        normal-oriented world-space disks — per-point quads instanced via
+        ANGLE_instanced_arrays (the WebGL1 stand-in for surfelmap.glsl's
+        geometry-shader expansion), tangent/bitangent from
+        cross(N, -y)/cross(N, t), round-disk discard, Phong kA/kD/kS
+        0.3/0.5/0.4 with spec 32 and an eye-space light, plus the
+        show_normal debug view (resources/programs/surfelmap.glsl:40-130);
+        contexts without the instancing extension fall back to elliptic
+        point sprites."""
         from .viz import (_frusta, compose_world_grids, extract_kf_grid,
                           grid_stride)
 
@@ -267,6 +275,7 @@ padding:8px;border-radius:6px}button{margin-right:6px}
  <button id="pause">pause</button><button id="step">step</button>
  <select id="mode"><option value="0">points</option>
   <option value="1">surfels</option><option value="2">mesh</option></select>
+ <label><input id="shownrm" type="checkbox">normals</label>
  conf <input id="conf" type="range" min="0" max="10" step="0.1" value="1.5">
  <span id="confv">1.5</span><div id="stats">connecting...</div>
 </div>
@@ -277,9 +286,10 @@ border:1px solid #555;border-radius:4px;display:none">
 const canvas=document.getElementById('c');
 const gl=canvas.getContext('webgl');
 gl.getExtension('OES_element_index_uint');
-// one program serves all three modes (pointmap/surfelmap/trianglemap.glsl
-// counterparts): mode 0 plain points, 1 normal-shaded elliptic sprites,
-// 2 normal-shaded triangles
+const inst=gl.getExtension('ANGLE_instanced_arrays');
+// base program serves points + mesh (pointmap/trianglemap.glsl
+// counterparts) and the sprite FALLBACK surfel mode for contexts without
+// instancing; true surfels use the dedicated instanced program below
 const vs=`attribute vec3 p;attribute vec3 c;attribute vec3 nrm;
 uniform mat4 mvp;uniform mat3 rot;uniform float ps;uniform int mode;
 varying vec3 vc;varying vec3 vn;
@@ -299,12 +309,57 @@ void main(){
   float u=dot(o,ax)/m, v=o.x*ax.y-o.y*ax.x;
   if(u*u+v*v>1.0)discard;}
  gl_FragColor=vec4(col,1.0);}`;
+// surfelmap.glsl counterpart: each point expands to a quad oriented by
+// its normal (tangent = cross(N, -y), bitangent = cross(N, tangent)),
+// round-disk discard + Phong (kA/kD/kS 0.3/0.5/0.4, spec 32, eye-space
+// light at (0.1,0.1,0)) and the show_normal debug view.  The reference
+// does the expansion in a geometry shader; WebGL1 has none, so the quad
+// corners come from a 4-vertex strip instanced per point.
+const svs=`attribute vec2 corner;attribute vec3 p;attribute vec3 c;
+attribute vec3 nrm;
+uniform mat4 mvp;uniform mat4 mv;uniform mat3 rot;uniform float radius;
+varying vec3 vc;varying vec3 vn;varying vec3 vpos;varying vec2 tc;
+void main(){
+ vec3 N=normalize(nrm);
+ vec3 up=vec3(0.0,-1.0,0.0);
+ vec3 t0=cross(N,up);
+ vec3 tangent=length(t0)>1e-4?normalize(t0):vec3(1.0,0.0,0.0);
+ vec3 bitangent=cross(N,tangent);
+ vec3 wp=p+(corner.x*tangent+corner.y*bitangent)*radius;
+ vpos=(mv*vec4(wp,1.0)).xyz;vn=rot*N;tc=corner;vc=c;
+ gl_Position=mvp*vec4(wp,1.0);}`;
+const sfs=`precision mediump float;
+varying vec3 vc;varying vec3 vn;varying vec3 vpos;varying vec2 tc;
+uniform int showNormal;
+void main(){
+ if(length(tc)>1.0)discard;
+ vec3 N=normalize(vn);
+ if(showNormal==1){
+  vec3 Nn=vec3(N.x,-N.y,-N.z);
+  gl_FragColor=vec4(-Nn*0.5+0.5,1.0);return;}
+ vec3 L=normalize(vec3(0.1,0.1,0.0)-vpos);
+ float lam=max(dot(N,L),0.0);
+ float spec=0.0;
+ if(lam>0.0){
+  vec3 R=2.0*dot(L,N)*N-L;
+  vec3 V=normalize(-vpos);
+  spec=pow(max(dot(R,V),0.0),32.0);}
+ vec3 col=vc*(0.3+lam*0.5)+vec3(1.0,1.0,1.0)*0.4*spec;
+ gl_FragColor=vec4(col,1.0);}`;
 function sh(t,s){const o=gl.createShader(t);gl.shaderSource(o,s);
 gl.compileShader(o);return o;}
 const prog=gl.createProgram();
 gl.attachShader(prog,sh(gl.VERTEX_SHADER,vs));
 gl.attachShader(prog,sh(gl.FRAGMENT_SHADER,fs));
 gl.linkProgram(prog);gl.useProgram(prog);
+let sprog=null;
+if(inst){
+ sprog=gl.createProgram();
+ gl.attachShader(sprog,sh(gl.VERTEX_SHADER,svs));
+ gl.attachShader(sprog,sh(gl.FRAGMENT_SHADER,sfs));
+ gl.linkProgram(sprog);
+ if(!gl.getProgramParameter(sprog,gl.LINK_STATUS))sprog=null;
+}
 gl.enable(gl.DEPTH_TEST);
 const pl=gl.getAttribLocation(prog,'p');
 const cl=gl.getAttribLocation(prog,'c');
@@ -313,11 +368,27 @@ const mvpLoc=gl.getUniformLocation(prog,'mvp');
 const rotLoc=gl.getUniformLocation(prog,'rot');
 const psLoc=gl.getUniformLocation(prog,'ps');
 const modeLoc=gl.getUniformLocation(prog,'mode');
+let S=null;
+if(sprog){
+ S={corner:gl.getAttribLocation(sprog,'corner'),
+    p:gl.getAttribLocation(sprog,'p'),
+    c:gl.getAttribLocation(sprog,'c'),
+    nrm:gl.getAttribLocation(sprog,'nrm'),
+    mvp:gl.getUniformLocation(sprog,'mvp'),
+    mv:gl.getUniformLocation(sprog,'mv'),
+    rot:gl.getUniformLocation(sprog,'rot'),
+    radius:gl.getUniformLocation(sprog,'radius'),
+    showNormal:gl.getUniformLocation(sprog,'showNormal')};
+}
 const pbuf=gl.createBuffer(),cbuf=gl.createBuffer(),nbuf=gl.createBuffer();
 const lbuf=gl.createBuffer(),lcbuf=gl.createBuffer();
 const ibuf=gl.createBuffer();
+const cornerBuf=gl.createBuffer();
+gl.bindBuffer(gl.ARRAY_BUFFER,cornerBuf);
+gl.bufferData(gl.ARRAY_BUFFER,
+ new Float32Array([-1,-1, 1,-1, -1,1, 1,1]),gl.STATIC_DRAW);
 let npts=0,nlines=0,ntri=0,version=-1,frameVersion=0,ctr=[0,0,0],dist=5;
-let sradius=0.01,mode=0;
+let sradius=0.01,mode=0,showNormal=0;
 let rx=0.5,ry=-0.8;
 async function refresh(){
  try{
@@ -379,19 +450,20 @@ function mat(){
  const a=canvas.width/canvas.height,f=1.5,n=0.01*dist,fa=100*dist;
  const R=[[cy,0,sy],[sx*sy,cx,-sx*cy],[-cx*sy,sx,cx*cy]];
  R3=R;
- const m=new Float32Array(16);
- for(let i=0;i<3;i++){m[i*4]=R[0][i];m[i*4+1]=R[1][i];m[i*4+2]=R[2][i];}
  let t=[0,0,0];
  for(let i=0;i<3;i++){t[i]=-(R[i][0]*ctr[0]+R[i][1]*ctr[1]+R[i][2]*ctr[2]);}
  t[2]-=dist;
+ const MV=new Float32Array(16);
+ for(let i=0;i<3;i++){MV[i*4]=R[0][i];MV[i*4+1]=R[1][i];MV[i*4+2]=R[2][i];}
+ MV[12]=t[0];MV[13]=t[1];MV[14]=t[2];MV[15]=1;
  const P=[f/a,0,0,0, 0,f,0,0, 0,0,(fa+n)/(n-fa),-1, 0,0,2*fa*n/(n-fa),0];
  const out=new Float32Array(16);
  for(let r2=0;r2<4;r2++)for(let c2=0;c2<4;c2++){let s=0;
   for(let k=0;k<4;k++){
-   const mv=(k<3)?((r2<3)?m[k*4+r2]:0):((r2<3)?t[r2]:1);
+   const mv=(k<3)?((r2<3)?MV[k*4+r2]:0):((r2<3)?t[r2]:1);
    s+=P[c2*4+k]*mv;}
   out[c2*4+r2]=s;}
- return out;}
+ return [out,MV];}
 function bindCloudAttribs(){
  gl.bindBuffer(gl.ARRAY_BUFFER,pbuf);
  gl.enableVertexAttribArray(pl);
@@ -402,12 +474,45 @@ function bindCloudAttribs(){
  gl.bindBuffer(gl.ARRAY_BUFFER,nbuf);
  gl.enableVertexAttribArray(nl);
  gl.vertexAttribPointer(nl,3,gl.BYTE,true,0,0);}
+function drawSurfels(M,MV,Rf){
+ gl.useProgram(sprog);
+ gl.uniformMatrix4fv(S.mvp,false,M);
+ gl.uniformMatrix4fv(S.mv,false,MV);
+ gl.uniformMatrix3fv(S.rot,false,Rf);
+ gl.uniform1f(S.radius,sradius*0.9);
+ gl.uniform1i(S.showNormal,showNormal);
+ gl.bindBuffer(gl.ARRAY_BUFFER,cornerBuf);
+ gl.enableVertexAttribArray(S.corner);
+ gl.vertexAttribPointer(S.corner,2,gl.FLOAT,false,0,0);
+ inst.vertexAttribDivisorANGLE(S.corner,0);
+ gl.bindBuffer(gl.ARRAY_BUFFER,pbuf);
+ gl.enableVertexAttribArray(S.p);
+ gl.vertexAttribPointer(S.p,3,gl.FLOAT,false,0,0);
+ inst.vertexAttribDivisorANGLE(S.p,1);
+ gl.bindBuffer(gl.ARRAY_BUFFER,cbuf);
+ gl.enableVertexAttribArray(S.c);
+ gl.vertexAttribPointer(S.c,3,gl.UNSIGNED_BYTE,true,0,0);
+ inst.vertexAttribDivisorANGLE(S.c,1);
+ gl.bindBuffer(gl.ARRAY_BUFFER,nbuf);
+ gl.enableVertexAttribArray(S.nrm);
+ gl.vertexAttribPointer(S.nrm,3,gl.BYTE,true,0,0);
+ inst.vertexAttribDivisorANGLE(S.nrm,1);
+ inst.drawArraysInstancedANGLE(gl.TRIANGLE_STRIP,0,4,npts);
+ inst.vertexAttribDivisorANGLE(S.p,0);
+ inst.vertexAttribDivisorANGLE(S.c,0);
+ inst.vertexAttribDivisorANGLE(S.nrm,0);
+ gl.disableVertexAttribArray(S.corner);
+ gl.disableVertexAttribArray(S.p);
+ gl.disableVertexAttribArray(S.c);
+ gl.disableVertexAttribArray(S.nrm);
+ gl.useProgram(prog);}
 function draw(){
  canvas.width=innerWidth;canvas.height=innerHeight;
  gl.viewport(0,0,canvas.width,canvas.height);
  gl.clearColor(0.06,0.06,0.08,1);
  gl.clear(gl.COLOR_BUFFER_BIT|gl.DEPTH_BUFFER_BIT);
- const M=mat();
+ const [M,MV]=mat();
+ gl.useProgram(prog);
  gl.uniformMatrix4fv(mvpLoc,false,M);
  const Rf=new Float32Array([R3[0][0],R3[1][0],R3[2][0],
   R3[0][1],R3[1][1],R3[2][1],R3[0][2],R3[1][2],R3[2][2]]);
@@ -415,12 +520,16 @@ function draw(){
  gl.uniform1f(psLoc,2.0*sradius*1.5*canvas.height*0.5);
  gl.uniform1i(modeLoc,mode);
  if(npts>0){
-  bindCloudAttribs();
-  if(mode==2&&ntri>0){
-   gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER,ibuf);
-   gl.drawElements(gl.TRIANGLES,ntri*3,gl.UNSIGNED_INT,0);
+  if(mode==1&&sprog){
+   drawSurfels(M,MV,Rf);
   }else{
-   gl.drawArrays(gl.POINTS,0,npts);
+   bindCloudAttribs();
+   if(mode==2&&ntri>0){
+    gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER,ibuf);
+    gl.drawElements(gl.TRIANGLES,ntri*3,gl.UNSIGNED_INT,0);
+   }else{
+    gl.drawArrays(gl.POINTS,0,npts);
+   }
   }
  }
  if(nlines>0){
@@ -428,8 +537,10 @@ function draw(){
   gl.disableVertexAttribArray(nl);
   gl.vertexAttrib3f(nl,0,0,1);
   gl.bindBuffer(gl.ARRAY_BUFFER,lbuf);
+  gl.enableVertexAttribArray(pl);
   gl.vertexAttribPointer(pl,3,gl.FLOAT,false,0,0);
   gl.bindBuffer(gl.ARRAY_BUFFER,lcbuf);
+  gl.enableVertexAttribArray(cl);
   gl.vertexAttribPointer(cl,3,gl.UNSIGNED_BYTE,true,0,0);
   gl.drawArrays(gl.LINES,0,nlines);
  }
@@ -448,6 +559,8 @@ document.getElementById('pause').onclick=async()=>{
  await fetch('/ctrl?pause='+(paused?1:0));};
 document.getElementById('step').onclick=()=>fetch('/ctrl?step=1');
 document.getElementById('mode').onchange=e=>{mode=parseInt(e.target.value);};
+document.getElementById('shownrm').onchange=e=>{
+ showNormal=e.target.checked?1:0;};
 const conf=document.getElementById('conf');
 conf.oninput=()=>{
  document.getElementById('confv').textContent=conf.value;

@@ -60,6 +60,11 @@ def test_live_viewer_serves_and_controls():
 
         page = urllib.request.urlopen(f"{base}/").read().decode()
         assert "webgl" in page and "/cloud" in page
+        # surfelmap.glsl-parity splatting: instanced normal-oriented
+        # quads, tangent frame, round-disk discard, Phong + show_normal
+        for marker in ("ANGLE_instanced_arrays", "drawArraysInstancedANGLE",
+                       "bitangent", "discard", "showNormal", "shownrm"):
+            assert marker in page, marker
 
         meta = json.loads(urllib.request.urlopen(f"{base}/meta").read())
         assert meta["version"] == 1 and meta["nkf"] >= 1
